@@ -1,0 +1,259 @@
+"""Typed configuration system.
+
+Replaces the reference's three disjoint config mechanisms (hard-coded
+``__main__`` constants, ``wandb.config`` dicts, and OmegaConf YAML reflection —
+see reference ``models/contrastive_RBVAE/contrastive_RBVAE_train.py:692-747``,
+``models/*/*_wandb_sweep.py``, ``src/stable-diffusion/ldm/util.py:78-93``) with
+one set of dataclasses used by every entry point.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Video metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoMeta:
+    """Per-video state-transition metadata.
+
+    Mirrors the reference's ``videos/frames/transition_flags.txt`` entries:
+    ``flags`` are the frame indices at which a state transition occurs,
+    ``last_frame`` is the final frame index (inclusive), ``grey_out`` is the
+    margin of frames dropped on both sides of every transition.
+    """
+
+    name: str
+    flags: Tuple[int, ...]
+    last_frame: int
+    grey_out: int = 10
+
+    @property
+    def num_states(self) -> int:
+        return len(self.flags) + 1
+
+    def state_segments(self) -> Tuple[Tuple[int, int], ...]:
+        """Half-open ``(start, end)`` per state, transition margins removed.
+
+        Same arithmetic as reference ``contrastive_RBVAE_train.py:700-707``
+        (the canonical formula; the off-by-one variant in
+        ``triplet_RBVAE_train.py:633-641`` is intentionally not reproduced).
+        """
+        segs = []
+        for i, flag in enumerate(self.flags):
+            if i == 0:
+                segs.append((0, flag - self.grey_out))
+            else:
+                segs.append((self.flags[i - 1] + self.grey_out + 1,
+                             flag - self.grey_out))
+        segs.append((self.flags[-1] + self.grey_out + 1, self.last_frame + 1))
+        return tuple(segs)
+
+
+def parse_transition_flags(path: str | Path) -> dict[str, VideoMeta]:
+    """Parse a ``transition_flags.txt``-style metadata file.
+
+    Format (reference ``videos/frames/transition_flags.txt:1-11``)::
+
+        video_name:
+        [f0, f1, ...], last_frame = N, grey_out = M
+    """
+    text = Path(path).read_text()
+    metas: dict[str, VideoMeta] = {}
+    name = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.endswith(":"):
+            name = line[:-1].strip()
+            continue
+        m = re.match(
+            r"\[(?P<flags>[\d,\s]*)\]\s*,\s*last_frame\s*=\s*(?P<last>\d+)"
+            r"\s*,\s*grey_out\s*=\s*(?P<grey>\d+)", line)
+        if m and name is not None:
+            flags = tuple(
+                int(x) for x in m.group("flags").split(",") if x.strip())
+            metas[name] = VideoMeta(
+                name=name, flags=flags, last_frame=int(m.group("last")),
+                grey_out=int(m.group("grey")))
+            name = None
+    return metas
+
+
+# The four videos the reference ships metadata for
+# (``videos/frames/transition_flags.txt``).
+BUILTIN_VIDEOS = {
+    "kid_playing_with_blocks": VideoMeta(
+        "kid_playing_with_blocks",
+        (152, 315, 486, 607, 734, 871, 1153, 1343), 1425, 10),
+    "chinese_chess": VideoMeta(
+        "chinese_chess", (74, 206, 282, 389), 479, 10),
+    "assembly_C10118": VideoMeta(
+        "assembly_C10118",
+        (2836, 4132, 5114, 5640, 6922, 8390, 11518, 11962), 12297, 20),
+    "ikea_asm_table": VideoMeta(
+        "ikea_asm_table",
+        (157, 205, 441, 494, 557, 887, 909, 1010, 1048, 1315, 1388, 1438,
+         1702, 1847, 2096, 2174), 2469, 1),
+}
+
+
+# ---------------------------------------------------------------------------
+# Model configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RBVAEConfig:
+    """One parameterized config covering all four reference variants.
+
+    Reference variants (SURVEY.md §2.2):
+      * simple      — ``models/simple_RBVAE/simple_RBVAE_model.py:77-193``
+      * contrastive — ``models/contrastive_RBVAE/contrastive_RBVAE_model.py:45-191``
+      * percep      — ``models/percep_RBVAE/percep_RBVAE_model.py:46-191``
+      * triplet     — ``models/triplet_RBVAE/triplet_RBVAE_model.py:47-193``
+    """
+
+    variant: str = "contrastive"
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_dim: int = 32
+    # Input spatial size (H, W). 256x256 pixels (contrastive/triplet),
+    # 64x64 (simple), 88x160 SD latents (percep).
+    input_hw: Tuple[int, int] = (256, 256)
+    # Conv trunk: per-stage output channels; kernel/stride/padding.
+    conv_features: Tuple[int, ...] = (64, 64, 64)
+    conv_kernel: int = 3
+    conv_stride: int = 2
+    conv_padding: int = 1
+    conv_dropout: float = 0.2
+    # LSTM depth (1=simple, 2=contrastive/triplet, 4=percep). Hidden size is
+    # wired to latent_dim in every reference variant
+    # (``contrastive_RBVAE_model.py:139-140``).
+    lstm_layers: int = 2
+    # Where binarization happens: "pre_rnn" = on CNN logits before the LSTMs
+    # (simple, ``simple_RBVAE_model.py:177``); "post_rnn" = on encoder-LSTM
+    # output (all others, ``contrastive_RBVAE_model.py:158``).
+    binarize: str = "post_rnn"
+    # Binary-Concrete epsilon: 1e-10 simple, 1e-8 others.
+    bc_eps: float = 1e-8
+    # Whether the noise_ratio multiplier exists (contrastive/percep only;
+    # simple/triplet use unscaled logistic noise == noise_ratio 1.0).
+    has_noise_ratio: bool = True
+    # Final decoder nonlinearity. The reference uses Sigmoid for every
+    # variant, including percep whose targets are not in [0,1] — preserved.
+    decoder_sigmoid: bool = True
+    # Compute dtype for conv/matmul ("bfloat16" on TPU, "float32" for parity
+    # tests). Params are always float32.
+    compute_dtype: str = "float32"
+
+    @property
+    def encoded_hw(self) -> Tuple[int, int]:
+        h, w = self.input_hw
+        for _ in self.conv_features:
+            h = (h + 2 * self.conv_padding - self.conv_kernel) // self.conv_stride + 1
+            w = (w + 2 * self.conv_padding - self.conv_kernel) // self.conv_stride + 1
+        return (h, w)
+
+    @property
+    def encoded_dim(self) -> int:
+        h, w = self.encoded_hw
+        return self.conv_features[-1] * h * w
+
+
+def rbvae_variant(name: str, latent_dim: int = 32, *,
+                  compute_dtype: str = "float32", **overrides) -> RBVAEConfig:
+    """Factory for the four reference variants by name."""
+    base = dict(latent_dim=latent_dim, compute_dtype=compute_dtype)
+    if name == "simple":
+        cfg = dict(
+            variant="simple", input_hw=(64, 64), conv_features=(64, 128, 256),
+            conv_kernel=4, conv_dropout=0.0, lstm_layers=1,
+            binarize="pre_rnn", bc_eps=1e-10, has_noise_ratio=False)
+    elif name == "contrastive":
+        cfg = dict(variant="contrastive")
+    elif name == "triplet":
+        cfg = dict(variant="triplet", has_noise_ratio=False)
+    elif name == "percep":
+        cfg = dict(
+            variant="percep", in_channels=4, out_channels=4,
+            input_hw=(88, 160), conv_features=(256, 256, 256), lstm_layers=4)
+    else:
+        raise ValueError(f"unknown RBVAE variant: {name!r}")
+    cfg.update(base)
+    cfg.update(overrides)
+    return RBVAEConfig(**cfg)
+
+
+# ---------------------------------------------------------------------------
+# Training configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer hyperparameters (reference trainer ctor args, SURVEY.md §2.5)."""
+
+    batch_size: int = 32
+    num_epochs: int = 50
+    learning_rate: float = 1e-3
+    init_temperature: float = 1.0
+    final_temperature: float = 0.5
+    anneal_rate: float = 1e-3
+    num_steps_to_update: int = 100
+    bernoulli_p: float = 0.1
+    noise_ratio: float = 0.1
+    margin: float = 0.2
+    alpha: float = 1.0           # contrastive or triplet coefficient
+    beta_kl: float = 1.0
+    test_pct: float = 0.1
+    val_pct: float = 0.1
+    seed: int = 0
+    # Loss family: "contrastive" | "triplet" | "simple".
+    objective: str = "contrastive"
+    # Model selection: "consistency" (contrastive/percep,
+    # ``contrastive_RBVAE_train.py:662-673``) or "val_loss" (triplet,
+    # ``triplet_RBVAE_train.py:597-608``).
+    select_by: str = "consistency"
+    log_dir: Optional[str] = None
+    # Mesh axes for data parallelism; batch is sharded over "data".
+    mesh_shape: Tuple[int, ...] = (-1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class PerceptualConfig:
+    """SD AutoencoderKL first-stage config (v1-inference.yaml:46-67)."""
+
+    embed_dim: int = 4
+    z_channels: int = 4
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    in_channels: int = 3
+    out_ch: int = 3
+    scale_factor: float = 0.18215
+    # Preprocessing: resize target before %32 snap
+    # (``get_percep_embeddings.py:59-66``) — 1280x720 → 1280x704.
+    resize_wh: Tuple[int, int] = (1280, 720)
+    compute_dtype: str = "bfloat16"
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def from_json(cls, s: str):
+    d = json.loads(s)
+    for f in dataclasses.fields(cls):
+        if f.name in d and isinstance(d[f.name], list):
+            d[f.name] = tuple(d[f.name])
+    return cls(**d)

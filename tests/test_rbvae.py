@@ -1,0 +1,96 @@
+"""Shape/dtype/semantics tests for the four RBVAE variants."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svtpu.config import rbvae_variant
+from svtpu.models.rbvae import Seq2SeqBinaryVAE
+
+CASES = [
+    # (variant, input [T,H,W,C] spatial, latent)
+    ("simple", (64, 64, 3), 16),
+    ("contrastive", (32, 32, 3), 12),   # shrunken spatial for test speed
+    ("triplet", (32, 32, 3), 12),
+    ("percep", (24, 40, 4), 12),
+]
+
+
+def make(variant, hwc, latent):
+    cfg = rbvae_variant(variant, latent_dim=latent, input_hw=hwc[:2],
+                        in_channels=hwc[2], out_channels=hwc[2])
+    return cfg, Seq2SeqBinaryVAE(cfg)
+
+
+@pytest.mark.parametrize("variant,hwc,latent", CASES)
+def test_forward_shapes(variant, hwc, latent):
+    cfg, model = make(variant, hwc, latent)
+    B, T = 2, 4
+    x = jnp.zeros((B, T) + hwc, jnp.float32)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "binary": jax.random.key(2)}
+    params = model.init(rngs, x, 1.0, False)
+    out = model.apply(params, x, 0.7, False,
+                      rngs={"dropout": jax.random.key(3),
+                            "binary": jax.random.key(4)})
+    assert out.x_recon.shape == x.shape
+    assert out.h_seq.shape == (B, T, latent)
+    assert out.z_seq.shape == (B, T, latent)
+    assert out.logits.shape == (B, T, latent)
+    assert np.all(np.isfinite(np.asarray(out.x_recon)))
+
+
+def test_encode_hard_is_binary_and_deterministic():
+    cfg, model = make("contrastive", (32, 32, 3), 10)
+    x = jax.random.normal(jax.random.key(5), (1, 3, 32, 32, 3))
+    params = model.init({"params": jax.random.key(0)}, x, 1.0, False,
+                        deterministic=True)
+    z1 = model.apply(params, x, 0.2, True, method=Seq2SeqBinaryVAE.encode)
+    z2 = model.apply(params, x, 0.2, True, method=Seq2SeqBinaryVAE.encode)
+    z1, z2 = np.asarray(z1), np.asarray(z2)
+    assert set(np.unique(z1)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(z1, z2)
+
+
+def test_encode_with_noise_varies_by_key():
+    cfg, model = make("contrastive", (32, 32, 3), 10)
+    x = jax.random.normal(jax.random.key(6), (1, 3, 32, 32, 3))
+    params = model.init({"params": jax.random.key(0)}, x, 1.0, False,
+                        deterministic=True)
+    z1 = model.apply(params, x, 0.5, False, 0.5,
+                     method=Seq2SeqBinaryVAE.encode,
+                     deterministic=False, bc_rng=jax.random.key(1))
+    z2 = model.apply(params, x, 0.5, False, 0.5,
+                     method=Seq2SeqBinaryVAE.encode,
+                     deterministic=False, bc_rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+def test_simple_variant_binarizes_before_rnn():
+    """For the simple variant z_seq must be binary_concrete(logits), i.e. a
+    function of conv logits only (reference ``simple_RBVAE_model.py:177``)."""
+    cfg, model = make("simple", (64, 64, 3), 8)
+    x = jax.random.normal(jax.random.key(7), (1, 2, 64, 64, 3))
+    params = model.init({"params": jax.random.key(0)}, x, 1.0, False,
+                        deterministic=True)
+    out = model.apply(params, x, 0.5, False, deterministic=True)
+    expect = jax.nn.sigmoid(out.logits / 0.5)
+    np.testing.assert_allclose(np.asarray(out.z_seq), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grad_flows_through_hard_binarization():
+    cfg, model = make("contrastive", (32, 32, 3), 8)
+    x = jax.random.normal(jax.random.key(8), (1, 2, 32, 32, 3))
+    params = model.init({"params": jax.random.key(0)}, x, 1.0, False,
+                        deterministic=True)
+
+    def loss_fn(p):
+        out = model.apply(p, x, 0.5, True, deterministic=True)
+        return jnp.mean((out.x_recon - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+    assert np.isfinite(total) and total > 0
