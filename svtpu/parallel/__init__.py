@@ -1,0 +1,1 @@
+from svtpu.parallel.mesh import make_mesh, batch_sharding, replicated

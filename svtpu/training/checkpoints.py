@@ -1,0 +1,63 @@
+"""Checkpointing: orbax-backed, best-by-metric.
+
+Mirrors the reference's policy of saving a best-model dict
+``{epoch, model_state_dict, optimizer_state_dict, consistency_score}``
+(``contrastive_RBVAE_train.py:668-673``) — here with mid-training resume
+support, which the live reference pipeline lacks (SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class BestCheckpointer:
+    """Keeps the best checkpoint (by a scalar metric) plus the latest one."""
+
+    def __init__(self, directory: str | Path, mode: str = "max"):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.mode = mode
+        self.best_metric: Optional[float] = None
+        self._ckpt = ocp.PyTreeCheckpointer()
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best_metric is None:
+            return True
+        return (metric > self.best_metric if self.mode == "max"
+                else metric < self.best_metric)
+
+    def save(self, tree: Any, *, epoch: int, metric: float,
+             extra: Optional[dict] = None) -> bool:
+        """Save ``latest``; promote to ``best`` if the metric improved.
+        Returns True if this became the new best."""
+        meta = {"epoch": int(epoch), "metric": float(metric),
+                **(extra or {})}
+        self._write(tree, meta, "latest")
+        if self._is_better(metric):
+            self.best_metric = float(metric)
+            self._write(tree, meta, "best")
+            return True
+        return False
+
+    def _write(self, tree, meta, name):
+        path = self.directory / name
+        host_tree = jax.tree_util.tree_map(np.asarray, tree)
+        self._ckpt.save(path, host_tree, force=True)
+        (self.directory / f"{name}.json").write_text(json.dumps(meta))
+
+    def restore(self, name: str = "best"):
+        path = self.directory / name
+        tree = self._ckpt.restore(path)
+        meta = json.loads((self.directory / f"{name}.json").read_text())
+        return tree, meta
+
+    def exists(self, name: str = "best") -> bool:
+        return (self.directory / name).exists()

@@ -1,0 +1,428 @@
+"""Jitted RBVAE trainers for all four reference objectives.
+
+Re-designs the reference trainer classes (SURVEY.md §2.5:
+``ContrastiveRBVAETrainer`` in ``contrastive_RBVAE_train.py:343-690`` /
+``percep_RBVAE_train.py:375-719`` / ``triplet_RBVAE_train.py:380-624`` and
+the bare simple loop ``simple_RBVAE_train.py:143-188``) as one engine:
+
+  * One jit-compiled train step per config — both pair members fused into a
+    single forward (the reference runs them sequentially), uint8→float
+    normalization on device, gradients all-reduced by XLA over the ``data``
+    mesh axis.
+  * The temperature schedule is a pure traced function, so no recompiles.
+  * State consistency is a *batched* jitted encode (the reference encodes one
+    frame per step — its biggest eval bottleneck, ``percep_RBVAE_train.py:439``).
+  * Fixes the reference's ``validate()`` NameError (undefined
+    ``consistency_score``, ``contrastive_RBVAE_train.py:623``) by actually
+    computing the metric, as its percep twin does.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+import optax
+
+from svtpu.config import RBVAEConfig, TrainConfig
+from svtpu.data.datasets import PairBatcher
+from svtpu.data.segments import SplitIndices, assign_label
+from svtpu.models.rbvae import Seq2SeqBinaryVAE
+from svtpu.ops import losses
+from svtpu.ops.image import to_float01
+from svtpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from svtpu.training.checkpoints import BestCheckpointer
+from svtpu.training.metrics import MetricsWriter
+from svtpu.training.schedules import temperature_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: dict
+    opt_state: optax.OptState
+
+
+def _prep(batch: jax.Array) -> jax.Array:
+    """uint8 frames → float [0,1]; float embeddings pass through."""
+    if batch.dtype == jnp.uint8:
+        return to_float01(batch)
+    return batch.astype(jnp.float32)
+
+
+def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
+                   params, batch, temperature, hard: bool, key: jax.Array,
+                   deterministic: bool):
+    """Shared loss for contrastive and triplet objectives.
+
+    ``batch``: ``[B, 2, S, H, W, C]`` — member 0/1 of the pair per state.
+    Both members run through the model as one ``[2B, S, ...]`` batch.
+    """
+    x = _prep(batch)
+    B, two, S = x.shape[:3]
+    xm = jnp.swapaxes(x, 0, 1).reshape((2 * B, S) + x.shape[3:])
+    k_drop, k_bin = jax.random.split(key)
+    out = model.apply(
+        params, xm, temperature, hard, cfg.noise_ratio,
+        deterministic=deterministic,
+        rngs=(None if deterministic
+              else {"dropout": k_drop, "binary": k_bin}),
+        bc_rng=k_bin)
+    recon = losses.recon_mse(out.x_recon, xm)
+    # The reference feeds the *binarized* z_seq to the Bernoulli KL
+    # (``contrastive_RBVAE_train.py:500``) — preserved.
+    kl = losses.kl_binary_concrete(out.z_seq, p=cfg.bernoulli_p)
+    h0, h1 = out.h_seq[:B], out.h_seq[B:]
+
+    if cfg.objective == "contrastive":
+        sim = losses.contrastive(h0, h1, 0.0, margin=cfg.margin)
+        # Adjacent-state dissimilarity on member 0
+        # (``contrastive_RBVAE_train.py:508-513``): per-state mean over the
+        # batch, averaged over the S-1 adjacent pairs == one global mean.
+        dis = losses.contrastive(h0[:, :-1], h0[:, 1:], 1.0,
+                                 margin=cfg.margin)
+        aux = sim + dis
+        aux_name = "contrast_loss"
+    elif cfg.objective == "triplet":
+        # anchor = state t (member 0), positive = state t (member 1),
+        # negative = state t+1 (member 0); swap=True
+        # (``triplet_RBVAE_train.py:461-468``). The reference averages the
+        # per-state means; flattening (B, S-1) into the batch gives the same
+        # value since every state has batch-B triplets.
+        a = h0[:, :-1].reshape(-1, h0.shape[-1])
+        p = h1[:, :-1].reshape(-1, h0.shape[-1])
+        n = h0[:, 1:].reshape(-1, h0.shape[-1])
+        aux = losses.triplet_margin(a, p, n, margin=cfg.margin, swap=True)
+        aux_name = "triplet_loss"
+    else:
+        raise ValueError(cfg.objective)
+
+    total = recon + cfg.beta_kl * kl + cfg.alpha * aux
+    metrics = {"total_loss": total, "recon_loss": recon, "kl_loss": kl,
+               aux_name: aux}
+    return total, metrics
+
+
+def simple_objective(model, cfg: TrainConfig, params, batch, temperature,
+                     hard, key, deterministic):
+    """Bare recon+KL loss on whole state segments
+    (``simple_RBVAE_train.py:169-188``). ``batch``: ``[B, T, H, W, C]``."""
+    x = _prep(batch)
+    k_drop, k_bin = jax.random.split(key)
+    out = model.apply(
+        params, x, temperature, hard,
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": k_drop, "binary": k_bin},
+        bc_rng=k_bin)
+    recon = losses.recon_mse(out.x_recon, x)
+    kl = losses.kl_binary_concrete(out.logits, p=cfg.bernoulli_p)
+    total = recon + cfg.beta_kl * kl
+    return total, {"total_loss": total, "recon_loss": recon, "kl_loss": kl}
+
+
+class Trainer:
+    """Data-parallel RBVAE trainer.
+
+    Args:
+      model_cfg / train_cfg: typed configs.
+      store: FrameStore or EmbeddingStore.
+      splits: SplitIndices for the video.
+      flags: transition-flag list (for consistency labels).
+    """
+
+    def __init__(self, model_cfg: RBVAEConfig, train_cfg: TrainConfig,
+                 store, splits: SplitIndices, flags: Sequence[int],
+                 mesh=None, seed: Optional[int] = None):
+        self.mcfg = model_cfg
+        self.cfg = train_cfg
+        self.store = store
+        self.splits = splits
+        self.flags = list(flags)
+        self.seed = train_cfg.seed if seed is None else seed
+        self.mesh = mesh if mesh is not None else make_mesh(
+            train_cfg.mesh_shape, train_cfg.mesh_axes)
+        self.model = Seq2SeqBinaryVAE(model_cfg)
+        self.tx = optax.adam(train_cfg.learning_rate)
+        self.writer = MetricsWriter(train_cfg.log_dir)
+
+        self._rep = replicated(self.mesh)
+        self._bsh = batch_sharding(self.mesh)
+        self._compiled_train = None
+        self._compiled_val = None
+        self._compiled_encode = {}
+
+        if train_cfg.objective != "simple":
+            self.train_batcher = PairBatcher(
+                store, splits.train, train_cfg.batch_size, seed=self.seed)
+            self.val_batcher = PairBatcher(
+                store, splits.val, train_cfg.batch_size, seed=self.seed + 1,
+                shuffle=False)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self) -> TrainState:
+        item = self.store.item_shape
+        x0 = jnp.zeros((1, 2) + tuple(item), jnp.float32)
+        params = self.model.init(
+            {"params": jax.random.key(self.seed)}, x0, 1.0, False,
+            deterministic=True)
+        opt_state = self.tx.init(params["params"])
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=opt_state)
+        return jax.device_put(state, self._rep)
+
+    # ----------------------------------------------------------- train step
+
+    def _objective(self):
+        if self.cfg.objective in ("contrastive", "triplet"):
+            return pair_objective
+        return simple_objective
+
+    def _make_train_step(self):
+        cfg, model, tx = self.cfg, self.model, self.tx
+        obj = self._objective()
+
+        def train_step(state: TrainState, batch, key):
+            step = state.step + 1
+            temp = temperature_schedule(
+                step, cfg.init_temperature, cfg.final_temperature,
+                cfg.anneal_rate, cfg.num_steps_to_update)
+            key = jax.random.fold_in(key, step)
+
+            def loss_fn(p):
+                return obj(model, cfg, {"params": p}, batch, temp, False,
+                           key, deterministic=False)
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params["params"])
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params["params"])
+            params = optax.apply_updates(state.params["params"], updates)
+            metrics["temperature"] = temp
+            return TrainState(step=step, params={"params": params},
+                              opt_state=opt_state), metrics
+
+        return jax.jit(train_step, donate_argnums=(0,),
+                       out_shardings=(self._rep, self._rep))
+
+    def _make_val_step(self):
+        cfg, model = self.cfg, self.model
+        obj = self._objective()
+        # Contrastive/percep validate with hard=True; triplet with hard=False
+        # (``contrastive_RBVAE_train.py:577-583`` vs
+        # ``triplet_RBVAE_train.py:525-530``).
+        hard = cfg.objective == "contrastive"
+        # Contrastive/percep normalize the val total by the coefficient sum
+        # (``contrastive_RBVAE_train.py:562-565``); triplet does not.
+        normalize = cfg.objective == "contrastive"
+
+        def val_step(params, batch, key):
+            total, m = obj(model, cfg, params, batch,
+                           cfg.final_temperature, hard, key,
+                           deterministic=True)
+            if normalize:
+                coeff = 1.0 + cfg.beta_kl + cfg.alpha
+                aux_key = ("contrast_loss" if cfg.objective == "contrastive"
+                           else "triplet_loss")
+                m = dict(m)
+                m["total_loss"] = (m["recon_loss"] + cfg.beta_kl * m["kl_loss"]
+                                   + cfg.alpha * m[aux_key]) / coeff
+            return m
+
+        return jax.jit(val_step)
+
+    # ------------------------------------------------------------- encoding
+
+    def encode_frames(self, params, frames: np.ndarray, temperature: float,
+                      hard: bool = True, noise: bool = True,
+                      seed: int = 0, chunk: int = 128) -> np.ndarray:
+        """Batched single-frame encode → codes ``[N, latent]``.
+
+        Each frame is a T=1 sequence, exactly like the reference's
+        consistency path (``percep_RBVAE_train.py:459-462``) but batched
+        ``chunk`` frames at a time instead of one by one.
+        """
+        model, cfg = self.model, self.cfg
+
+        if chunk not in self._compiled_encode:
+            def enc(params, x, key):
+                return model.apply(
+                    params, x[:, None], temperature, hard, cfg.noise_ratio,
+                    method=Seq2SeqBinaryVAE.encode,
+                    deterministic=not noise, bc_rng=key if noise else None)
+            self._compiled_encode[chunk] = jax.jit(enc)
+        enc = self._compiled_encode[chunk]
+
+        n = len(frames)
+        out = []
+        key = jax.random.key(seed)
+        for i in range(0, n, chunk):
+            part = frames[i:i + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+            x = _prep(jax.device_put(jnp.asarray(part), self._bsh))
+            z = enc(params, x, jax.random.fold_in(key, i))
+            out.append(np.asarray(z)[:, 0][:len(frames[i:i + chunk])])
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    def state_consistency(self, params, temperature: float,
+                          noise: bool = True, seed: int = 0):
+        """Weighted modal-code match over validation frames
+        (``percep_RBVAE_train.py:439-497``)."""
+        val_idx = [i for s in self.splits.val for i in s]
+        if not val_idx:
+            return 0.0, []
+        frames = self.store.gather(np.asarray(val_idx))
+        codes = self.encode_frames(params, frames, temperature, hard=True,
+                                   noise=noise, seed=seed)
+        labels = np.asarray([assign_label(i, self.flags) for i in val_idx])
+        return modal_consistency(codes, labels, len(self.flags) + 1)
+
+    # ------------------------------------------------------------ main loop
+
+    def train_simple(self, state_segments, num_epochs: Optional[int] = None,
+                     temperature: float = 0.5) -> dict:
+        """Bare recon+KL loop over whole state segments at fixed temperature
+        (``simple_RBVAE_train.py:143-188``)."""
+        from svtpu.data.datasets import SegmentBatcher
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.num_epochs
+        batcher = SegmentBatcher(self.store, state_segments, seed=self.seed)
+        state = self.init_state()
+        model = self.model
+
+        @jax.jit
+        def step_fn(state, batch, key):
+            key = jax.random.fold_in(key, state.step)
+
+            def loss_fn(p):
+                return simple_objective(model, cfg, {"params": p}, batch,
+                                        temperature, False, key,
+                                        deterministic=False)
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params["params"])
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params["params"])
+            params = optax.apply_updates(state.params["params"], updates)
+            return TrainState(step=state.step + 1,
+                              params={"params": params},
+                              opt_state=opt_state), metrics
+
+        base_key = jax.random.key(self.seed + 1)
+        history = {"train_losses": []}
+        for epoch in range(num_epochs):
+            last = {}
+            for batch, _mask in batcher.epoch(epoch):
+                b = jax.device_put(jnp.asarray(batch), self._rep)
+                state, metrics = step_fn(state, b, base_key)
+                last = {k: float(v) for k, v in metrics.items()}
+            history["train_losses"].append(last)
+        history["final_state"] = state
+        return history
+
+    def train(self, num_epochs: Optional[int] = None,
+              save_path: Optional[str] = None,
+              log_every: int = 0) -> dict:
+        cfg = self.cfg
+        if cfg.objective == "simple":
+            raise ValueError("use train_simple() for the simple objective")
+        num_epochs = num_epochs or cfg.num_epochs
+        state = self.init_state()
+        train_step = self._compiled_train or self._make_train_step()
+        val_step = self._compiled_val or self._make_val_step()
+        self._compiled_train, self._compiled_val = train_step, val_step
+
+        ckpt = BestCheckpointer(
+            save_path, mode="max" if cfg.select_by == "consistency"
+            else "min") if save_path else None
+        base_key = jax.random.key(self.seed + 1)
+
+        history = {"train_losses": [], "val_losses": [], "best_epoch": 0,
+                   "best_metric": (-np.inf if cfg.select_by == "consistency"
+                                   else np.inf)}
+        t0 = time.time()
+        frames_seen = 0
+        for epoch in range(num_epochs):
+            # ---- train
+            sums, nb = {}, 0
+            for batch in self.train_batcher.epoch(epoch):
+                b = jax.device_put(jnp.asarray(batch), self._bsh)
+                state, metrics = train_step(state, b, base_key)
+                nb += 1
+                frames_seen += int(np.prod(batch.shape[:3]))
+                if log_every and nb % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    self.writer.scalars("Batch", m, int(state.step))
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
+
+            # ---- validate
+            vsums, vn = {}, 0
+            vkey = jax.random.fold_in(base_key, 10_000_000 + epoch)
+            for batch in self.val_batcher.epoch(0):
+                b = jax.device_put(jnp.asarray(batch), self._bsh)
+                m = val_step(state.params, b, vkey)
+                vn += 1
+                for k, v in m.items():
+                    vsums[k] = vsums.get(k, 0.0) + float(v)
+            val_losses = {k: v / max(vn, 1) for k, v in vsums.items()}
+
+            score, per_state = self.state_consistency(
+                state.params, cfg.final_temperature, seed=epoch)
+            val_losses["consistency_score"] = float(score)
+            for i, p in enumerate(per_state):
+                val_losses[f"state_{i}_consistency"] = float(p)
+
+            self.writer.scalars("Epoch/Train", train_losses, epoch)
+            self.writer.scalars("Epoch/Val", val_losses, epoch)
+
+            metric = (val_losses["consistency_score"]
+                      if cfg.select_by == "consistency"
+                      else val_losses["total_loss"])
+            better = (metric > history["best_metric"]
+                      if cfg.select_by == "consistency"
+                      else metric < history["best_metric"])
+            if better:
+                history["best_metric"] = metric
+                history["best_epoch"] = epoch
+                if ckpt:
+                    ckpt.save(
+                        {"params": state.params, "opt_state": state.opt_state},
+                        epoch=epoch, metric=metric,
+                        extra={"select_by": cfg.select_by})
+            history["train_losses"].append(train_losses)
+            history["val_losses"].append(val_losses)
+
+        history["wall_time_s"] = time.time() - t0
+        history["frames_seen"] = frames_seen
+        history["final_state"] = state
+        self.writer.close()
+        return history
+
+
+def modal_consistency(codes: np.ndarray, labels: np.ndarray,
+                      num_states: int):
+    """Fraction of codes equal to each state's modal code, weighted by state
+    size (``percep_RBVAE_train.py:464-497``)."""
+    pct, counts = [], []
+    bits = np.asarray(codes) > 0.5
+    for s in range(num_states):
+        mask = labels == s
+        counts.append(int(mask.sum()))
+        if not mask.any():
+            pct.append(0.0)
+            continue
+        vecs = bits[mask]
+        uniq, cnt = np.unique(vecs, axis=0, return_counts=True)
+        modal = uniq[np.argmax(cnt)]
+        pct.append(float(np.mean(np.all(vecs == modal, axis=1))))
+    total = sum(counts)
+    weighted = float(np.dot(pct, counts) / total) if total else 0.0
+    return weighted, pct

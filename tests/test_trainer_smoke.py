@@ -1,0 +1,122 @@
+"""End-to-end training smoke tests on a synthetic tiny video.
+
+The synthetic video has 3 clearly distinct "states" (solid color blocks with
+noise); a couple of epochs should run green, produce finite losses, a valid
+consistency score, and a working checkpoint round-trip. Runs on the 8-device
+virtual CPU mesh from conftest, so the data-parallel path is exercised.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from svtpu.config import VideoMeta, TrainConfig, rbvae_variant
+from svtpu.data.datasets import EmbeddingStore, FrameStore, PairBatcher
+from svtpu.data.segments import split_segments
+from svtpu.training.trainer import Trainer, modal_consistency
+
+
+@pytest.fixture(scope="module")
+def synth_video(tmp_path_factory):
+    """60 frames, states = [0,20), [20,40), [40,60): R/G/B blocks."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(60):
+        base = np.zeros((32, 32, 3), np.uint8)
+        base[..., i // 20] = 200
+        img = np.clip(base + rng.integers(0, 30, base.shape), 0,
+                      255).astype(np.uint8)
+        Image.fromarray(img).save(d / f"{i:010d}.jpg")
+    meta = VideoMeta("synth", flags=(20, 40), last_frame=59, grey_out=1)
+    return d, meta
+
+
+def _setup(synth_video, objective="contrastive", variant="contrastive"):
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant(variant, latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=2, objective=objective,
+                       num_steps_to_update=2,
+                       select_by="consistency" if objective == "contrastive"
+                       else "val_loss")
+    return Trainer(mcfg, tcfg, store, splits, meta.flags), store, splits
+
+
+def test_contrastive_end_to_end(synth_video, tmp_path):
+    trainer, store, splits = _setup(synth_video)
+    hist = trainer.train(num_epochs=2, save_path=str(tmp_path / "ckpt"))
+    assert len(hist["train_losses"]) == 2
+    for tl in hist["train_losses"]:
+        assert np.isfinite(tl["total_loss"])
+        assert {"recon_loss", "kl_loss", "contrast_loss"} <= set(tl)
+    vl = hist["val_losses"][-1]
+    assert 0.0 <= vl["consistency_score"] <= 1.0
+    # checkpoint round-trip
+    from svtpu.training.checkpoints import BestCheckpointer
+    ck = BestCheckpointer(str(tmp_path / "ckpt"))
+    tree, meta_d = ck.restore("best")
+    assert "params" in tree and "epoch" in meta_d
+
+
+def test_triplet_end_to_end(synth_video):
+    trainer, _, _ = _setup(synth_video, objective="triplet",
+                           variant="triplet")
+    hist = trainer.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["triplet_loss"])
+    # triplet selects best by val loss
+    assert np.isfinite(hist["best_metric"])
+
+
+def test_simple_end_to_end(synth_video):
+    frames_dir, meta = synth_video
+    segs = meta.state_segments()
+    all_idx = [i for s, e in segs for i in range(s, e)]
+    store = FrameStore(frames_dir, all_idx, resolution=(64, 64))
+    mcfg = rbvae_variant("simple", latent_dim=8)
+    tcfg = TrainConfig(batch_size=1, objective="simple")
+    splits = split_segments(segs)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train_simple(segs, num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["total_loss"])
+
+
+def test_percep_path_with_embedding_store(synth_video):
+    _, meta = synth_video
+    rng = np.random.default_rng(1)
+    emb = {f"{i:010d}.jpg": rng.normal(
+        size=(1, 4, 8, 16)).astype(np.float32) + 3.0 * (i // 20)
+        for i in range(60)}
+    store = EmbeddingStore(emb)
+    assert store.array.shape == (60, 8, 16, 4)
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    mcfg = rbvae_variant("percep", latent_dim=8, input_hw=(8, 16),
+                         conv_features=(32, 32, 32), lstm_layers=2)
+    tcfg = TrainConfig(batch_size=8, objective="contrastive")
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = trainer.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["total_loss"])
+
+
+def test_modal_consistency_math():
+    codes = np.array([[1, 0], [1, 0], [0, 0],      # state 0: modal [1,0] 2/3
+                      [0, 1], [0, 1]])             # state 1: modal [0,1] 2/2
+    labels = np.array([0, 0, 0, 1, 1])
+    w, pct = modal_consistency(codes, labels, 2)
+    assert pct[0] == pytest.approx(2 / 3)
+    assert pct[1] == pytest.approx(1.0)
+    assert w == pytest.approx((2 / 3 * 3 + 1.0 * 2) / 5)
+
+
+def test_pair_batcher_shapes(synth_video):
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train"), resolution=(32, 32))
+    b = PairBatcher(store, splits.train, batch_size=4, seed=0)
+    batches = list(b.epoch(0))
+    assert all(x.shape == (4, 2, 3, 32, 32, 3) for x in batches)
+    assert all(x.dtype == np.uint8 for x in batches)
