@@ -1,0 +1,85 @@
+"""Measure the reference pipeline's video→binary-symbol throughput.
+
+The reference publishes no benchmark numbers (BASELINE.md), so we measure an
+equivalent torch model here: the contrastive Seq2SeqBinaryVAE encode path
+(conv trunk → 2-layer LSTM → binary concrete, hard) exactly as the reference
+evaluation protocol runs it — one frame per call as a [1, 1, C, 256, 256]
+sequence (``embedding_matching.py:264``, ``percep_RBVAE_train.py:459-462``)
+— on the torch device available (CPU here; the reference itself falls back
+to CPU when CUDA is absent, ``contrastive_RBVAE_train.py:717``).
+
+Writes BENCH_BASELINE.json with frames/sec for batch-1 (reference protocol)
+and batch-32 (best case for the reference's architecture under torch).
+"""
+import json
+import platform
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+LATENT = 50
+RES = 256
+
+
+class Encoder(nn.Module):
+    """Torch model with the reference contrastive encode topology/widths
+    (contrastive_RBVAE_model.py:45-67, 93-107): 3x conv(k3,s2,p1) 64ch,
+    Linear(65536, latent), 2-layer LSTM, binary-concrete hard threshold."""
+
+    def __init__(self, latent=LATENT):
+        super().__init__()
+        self.trunk = nn.Sequential(
+            nn.Conv2d(3, 64, 3, 2, 1), nn.ReLU(), nn.Dropout(0.2),
+            nn.Conv2d(64, 64, 3, 2, 1), nn.ReLU(), nn.Dropout(0.2),
+            nn.Conv2d(64, 64, 3, 2, 1), nn.Flatten())
+        self.proj = nn.Linear(64 * 32 * 32, latent)
+        self.rnn = nn.LSTM(latent, latent, 2, batch_first=True)
+
+    def forward(self, x, temperature=0.2):
+        b, t = x.shape[:2]
+        h = self.proj(self.trunk(x.reshape(b * t, *x.shape[2:])))
+        h, _ = self.rnn(h.reshape(b, t, -1))
+        u = torch.rand_like(h)
+        noise = 0.1 * (torch.log(u + 1e-8) - torch.log(1 - u + 1e-8))
+        y = torch.sigmoid((h + noise) / temperature)
+        return (y > 0.5).float()
+
+
+def throughput(model, batch, n_frames=64):
+    x = torch.rand(batch, 1, 3, RES, RES)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_frames:
+            model(x)
+            done += batch
+        dt = time.perf_counter() - t0
+    return done / dt
+
+
+def main():
+    torch.manual_seed(0)
+    model = Encoder().eval()
+    fps1 = throughput(model, 1, 32)
+    fps32 = throughput(model, 32, 64)
+    out = {
+        "description": "reference-equivalent torch encode throughput "
+                       "(contrastive RBVAE, 256x256, latent 50)",
+        "device": "cpu",
+        "cpu": platform.processor() or platform.machine(),
+        "torch": torch.__version__,
+        "frames_per_sec_batch1": round(fps1, 2),
+        "frames_per_sec_batch32": round(fps32, 2),
+        "protocol": "batch1 = reference eval protocol "
+                    "(frame-at-a-time [1,1,C,H,W]); batch32 = batched",
+    }
+    with open("BENCH_BASELINE.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
