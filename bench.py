@@ -45,12 +45,14 @@ def main():
     frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
                                       dtype=np.uint8))
     key = jax.random.key(1)
-    encode(params, frames, key).block_until_ready()  # compile
+    # Warmup + compile; np.asarray forces a device round-trip (plain
+    # block_until_ready is unreliable through remote-execution relays).
+    np.asarray(encode(params, frames, key))
 
     t0 = time.perf_counter()
     for i in range(reps):
         out = encode(params, frames, jax.random.fold_in(key, i))
-    out.block_until_ready()
+    np.asarray(out)  # sync: device stream is sequential
     dt = time.perf_counter() - t0
     fps = batch * reps / dt
 
