@@ -1,0 +1,367 @@
+"""Unified CLI — one typed entry point per reference script layer.
+
+Reference → svtpu mapping:
+  extract        ← scripts/{cv2,decord,pyav}_frame_extraction.py
+  convert        ← scripts/video_conversion.py
+  download-weights ← scripts/download_weights.py
+  embed          ← src/stable-diffusion/get_percep_embeddings.py
+  train          ← models/*/*_train.py __main__ blocks
+  sweep          ← models/*/*_wandb_sweep.py
+  eval-consistency ← scripts/evaluation/state_consistency_eval/
+  eval-hamming   ← scripts/evaluation/clustering_eval/embedding_hamming...
+  eval-projections ← scripts/evaluation/clustering_eval/embedding_umap.py
+  eval-probe     ← scripts/evaluation/linear_projection_eval/
+  interpolate    ← scripts/pretrained_model_experiments/ldm_embedding_interpol.py
+
+Run: ``python -m svtpu.cli <command> --help``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _video_meta(args):
+    from svtpu.config import BUILTIN_VIDEOS, VideoMeta, parse_transition_flags
+
+    if args.flags_file:
+        metas = parse_transition_flags(args.flags_file)
+        return metas[args.video]
+    if args.video in BUILTIN_VIDEOS:
+        return BUILTIN_VIDEOS[args.video]
+    if args.flags:
+        return VideoMeta(args.video, tuple(args.flags), args.last_frame,
+                         args.grey_out)
+    raise SystemExit(f"unknown video {args.video!r}; pass --flags/"
+                     f"--last-frame or --flags-file")
+
+
+def _add_video_args(p):
+    p.add_argument("--video", required=True,
+                   help="video name (builtin or from --flags-file)")
+    p.add_argument("--flags-file", help="transition_flags.txt path")
+    p.add_argument("--flags", type=int, nargs="*",
+                   help="transition frame indices")
+    p.add_argument("--last-frame", type=int)
+    p.add_argument("--grey-out", type=int, default=10)
+
+
+def _pixel_store(args, meta):
+    from svtpu.data.datasets import FrameStore
+    from svtpu.data.segments import split_segments
+
+    splits = split_segments(meta.state_segments(), args.test_pct,
+                            args.val_pct)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(args.frames_dir, all_idx,
+                       resolution=(args.resolution, args.resolution))
+    return store, splits
+
+
+def cmd_extract(args):
+    from svtpu.data.frames import extract_frames
+
+    n = extract_frames(args.video_path, args.out_dir, backend=args.backend,
+                       every_n=args.every_n, limit=args.limit)
+    print(f"wrote {n} frames to {args.out_dir}")
+
+
+def cmd_convert(args):
+    from svtpu.data.frames import convert_video
+
+    convert_video(args.src, args.dst, fourcc=args.fourcc)
+    print(f"converted {args.src} -> {args.dst}")
+
+
+def cmd_download_weights(args):
+    from svtpu.data.frames import download_sd_weights
+
+    path = download_sd_weights(args.out_dir)
+    print(path)
+
+
+def cmd_embed(args):
+    from svtpu.config import PerceptualConfig
+    from svtpu.perceptual.convert import (convert_autoencoder_kl,
+                                          load_torch_checkpoint)
+    from svtpu.perceptual.embed import precompute_embeddings
+
+    cfg = PerceptualConfig()
+    params = convert_autoencoder_kl(load_torch_checkpoint(args.ckpt), cfg)
+    emb = precompute_embeddings(
+        args.frames_dir, args.out, params, cfg,
+        batch_size=args.batch_size,
+        stochastic=not args.deterministic, seed=args.seed)
+    print(f"saved {len(emb)} embeddings to {args.out}")
+
+
+def cmd_train(args):
+    from svtpu.config import TrainConfig, rbvae_variant
+    from svtpu.data.datasets import EmbeddingStore
+    from svtpu.data.segments import split_segments
+    from svtpu.training.trainer import Trainer
+
+    meta = _video_meta(args)
+    if args.variant == "percep":
+        store = EmbeddingStore(args.embeddings)
+        splits = split_segments(meta.state_segments(), args.test_pct,
+                                args.val_pct)
+    else:
+        store, splits = _pixel_store(args, meta)
+
+    input_hw = tuple(store.item_shape[:2])
+    in_ch = store.item_shape[2]
+    mcfg = rbvae_variant(args.variant, latent_dim=args.latent_dim,
+                         input_hw=input_hw, in_channels=in_ch,
+                         out_channels=in_ch, compute_dtype=args.dtype)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, num_epochs=args.epochs,
+        learning_rate=args.lr, init_temperature=args.init_temp,
+        final_temperature=args.final_temp, anneal_rate=args.anneal_rate,
+        num_steps_to_update=args.num_steps_to_update,
+        bernoulli_p=args.bernoulli_p, noise_ratio=args.noise_ratio,
+        margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
+        objective=("triplet" if args.variant == "triplet" else
+                   "simple" if args.variant == "simple" else "contrastive"),
+        select_by=("val_loss" if args.variant == "triplet"
+                   else "consistency"),
+        log_dir=args.log_dir, seed=args.seed)
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    if args.variant == "simple":
+        hist = trainer.train_simple(meta.state_segments(),
+                                    num_epochs=args.epochs)
+        print(json.dumps(hist["train_losses"][-1]))
+        return
+    hist = trainer.train(num_epochs=args.epochs, save_path=args.save_path)
+    print(f"best {tcfg.select_by}: {hist['best_metric']:.4f} "
+          f"at epoch {hist['best_epoch']}")
+
+
+def cmd_sweep(args):
+    from svtpu.data.datasets import EmbeddingStore
+    from svtpu.sweeps.runner import run_sweep
+
+    meta = _video_meta(args)
+    if args.variant == "percep":
+        store = EmbeddingStore(args.embeddings)
+    else:
+        store, _ = _pixel_store(args, meta)
+    res = run_sweep(args.variant, store, meta, count=args.count,
+                    seed=args.seed, save_dir=args.save_dir,
+                    use_wandb=not args.no_wandb,
+                    epochs_override=args.epochs)
+    if "best" in res:
+        print(f"best {res['metric']}: {res['best']}")
+
+
+def _bundle(args, store):
+    from svtpu.config import rbvae_variant
+    from svtpu.evaluation.common import RBVAEBundle
+
+    input_hw = tuple(store.item_shape[:2])
+    in_ch = store.item_shape[2]
+    cfg = rbvae_variant(args.variant, latent_dim=args.latent_dim,
+                        input_hw=input_hw, in_channels=in_ch,
+                        out_channels=in_ch)
+    return RBVAEBundle.from_checkpoint(args.ckpt, cfg, name=args.variant)
+
+
+def cmd_eval_consistency(args):
+    from svtpu.data.segments import split_segments
+    from svtpu.evaluation.consistency import (evaluate_consistency,
+                                              plot_results, write_csv)
+
+    meta = _video_meta(args)
+    store, splits = _pixel_store(args, meta)
+    test_idx = splits.flat("test")
+    frames01 = store.gather(np.asarray(test_idx)).astype(np.float32) / 255.0
+    bundle = _bundle(args, store)
+    results = evaluate_consistency(bundle, frames01, test_idx, meta.flags,
+                                   num_trials=args.trials,
+                                   temperature=args.temperature)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    write_csv(results, out / "consistency.csv")
+    plot_results(results, out / "consistency.png")
+    for r in results:
+        print(f"{r.perturbation}: {r.mean:.4f} ± {r.std:.4f}")
+
+
+def cmd_eval_hamming(args):
+    from svtpu.data.segments import split_segments
+    from svtpu.evaluation.hamming import (evaluate_hamming, plot_results,
+                                          write_csv)
+
+    meta = _video_meta(args)
+    store, splits = _pixel_store(args, meta)
+    test_idx = splits.flat("test")
+    frames = store.gather(np.asarray(test_idx))
+    bundle = _bundle(args, store)
+    res = evaluate_hamming(bundle, frames, test_idx, meta.flags,
+                           temperature=args.temperature)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    write_csv({bundle.name: res}, out / "hamming.csv")
+    plot_results({bundle.name: res}, out / "hamming.png")
+    print("adjacent hamming:", res["hamming"].tolist())
+
+
+def cmd_eval_projections(args):
+    meta = _video_meta(args)
+    store, splits = _pixel_store(args, meta)
+    test_idx = splits.flat("test")
+    frames = store.gather(np.asarray(test_idx))
+    bundle = _bundle(args, store)
+    from svtpu.evaluation.projections import evaluate_projections
+
+    written = evaluate_projections(bundle, frames, test_idx, meta.flags,
+                                   args.out_dir)
+    print(json.dumps(written))
+
+
+def cmd_eval_probe(args):
+    meta = _video_meta(args)
+    store, splits = _pixel_store(args, meta)
+    test_idx = splits.flat("test")
+    frames = store.gather(np.asarray(test_idx))
+    bundle = _bundle(args, store)
+    from svtpu.evaluation.linear_probe import evaluate_linear_probe
+
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    metrics = evaluate_linear_probe(bundle, frames,
+                                    example_path=out / "probe_example.png")
+    print(json.dumps(metrics))
+
+
+def cmd_interpolate(args):
+    from svtpu.config import PerceptualConfig
+    from svtpu.perceptual.convert import (convert_autoencoder_kl,
+                                          load_torch_checkpoint)
+    from svtpu.perceptual.embed import PerceptualEncoder
+    from svtpu.perceptual.interpolate import interpolate_images
+
+    cfg = PerceptualConfig()
+    params = convert_autoencoder_kl(load_torch_checkpoint(args.ckpt), cfg)
+    enc = PerceptualEncoder(params, cfg, batch_size=args.steps)
+    interpolate_images(enc, args.image_a, args.image_b, steps=args.steps,
+                       mode=args.mode, out_path=args.out)
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="svtpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("extract", help="video -> frame dir")
+    sp.add_argument("video_path")
+    sp.add_argument("out_dir")
+    sp.add_argument("--backend", default="cv2",
+                    choices=["cv2", "native", "pyav", "decord"])
+    sp.add_argument("--every-n", type=int, default=1)
+    sp.add_argument("--limit", type=int)
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("convert", help="video container conversion")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--fourcc", default="MJPG")
+    sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("download-weights", help="fetch sd-v1-4.ckpt")
+    sp.add_argument("out_dir")
+    sp.set_defaults(fn=cmd_download_weights)
+
+    sp = sub.add_parser("embed", help="frames -> perceptual embeddings .npy")
+    sp.add_argument("frames_dir")
+    sp.add_argument("out")
+    sp.add_argument("--ckpt", required=True, help="sd checkpoint path")
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--deterministic", action="store_true",
+                    help="posterior.mode() instead of sample()")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_embed)
+
+    sp = sub.add_parser("train", help="train an RBVAE variant")
+    _add_video_args(sp)
+    sp.add_argument("--variant", default="contrastive",
+                    choices=["simple", "contrastive", "percep", "triplet"])
+    sp.add_argument("--frames-dir")
+    sp.add_argument("--embeddings", help=".npy for the percep variant")
+    sp.add_argument("--resolution", type=int, default=256)
+    sp.add_argument("--latent-dim", type=int, default=32)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--init-temp", type=float, default=1.0)
+    sp.add_argument("--final-temp", type=float, default=0.5)
+    sp.add_argument("--anneal-rate", type=float, default=1e-3)
+    sp.add_argument("--num-steps-to-update", type=int, default=100)
+    sp.add_argument("--bernoulli-p", type=float, default=0.1)
+    sp.add_argument("--noise-ratio", type=float, default=0.1)
+    sp.add_argument("--margin", type=float, default=0.2)
+    sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("--beta-kl", type=float, default=1.0)
+    sp.add_argument("--test-pct", type=float, default=0.1)
+    sp.add_argument("--val-pct", type=float, default=0.1)
+    sp.add_argument("--dtype", default="bfloat16")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--save-path")
+    sp.add_argument("--log-dir")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("sweep", help="hyperparameter sweep")
+    _add_video_args(sp)
+    sp.add_argument("--variant", default="contrastive",
+                    choices=["contrastive", "percep", "triplet"])
+    sp.add_argument("--frames-dir")
+    sp.add_argument("--embeddings")
+    sp.add_argument("--resolution", type=int, default=256)
+    sp.add_argument("--test-pct", type=float, default=0.1)
+    sp.add_argument("--val-pct", type=float, default=0.1)
+    sp.add_argument("--count", type=int, default=10)
+    sp.add_argument("--epochs", type=int,
+                    help="override the space's epoch count")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--save-dir")
+    sp.add_argument("--no-wandb", action="store_true")
+    sp.set_defaults(fn=cmd_sweep)
+
+    for name, fn in [("eval-consistency", cmd_eval_consistency),
+                     ("eval-hamming", cmd_eval_hamming),
+                     ("eval-projections", cmd_eval_projections),
+                     ("eval-probe", cmd_eval_probe)]:
+        sp = sub.add_parser(name)
+        _add_video_args(sp)
+        sp.add_argument("--frames-dir", required=True)
+        sp.add_argument("--ckpt", required=True)
+        sp.add_argument("--variant", default="contrastive")
+        sp.add_argument("--latent-dim", type=int, default=32)
+        sp.add_argument("--resolution", type=int, default=256)
+        sp.add_argument("--test-pct", type=float, default=0.1)
+        sp.add_argument("--val-pct", type=float, default=0.1)
+        sp.add_argument("--temperature", type=float, default=0.2)
+        sp.add_argument("--trials", type=int, default=10)
+        sp.add_argument("--out-dir", default="eval_out")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("interpolate", help="SD latent interpolation demo")
+    sp.add_argument("image_a")
+    sp.add_argument("image_b")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--steps", type=int, default=8)
+    sp.add_argument("--mode", default="slerp", choices=["lerp", "slerp"])
+    sp.add_argument("--out", default="interpolation.png")
+    sp.set_defaults(fn=cmd_interpolate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

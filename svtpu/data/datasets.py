@@ -42,18 +42,31 @@ class FrameStore:
 
     def __init__(self, frames_dir: str | Path, indices: Sequence[int],
                  resolution: Tuple[int, int] = (256, 256),
-                 pattern: str = "{:010d}.jpg", workers: int = 16):
+                 pattern: str = "{:010d}.jpg", workers: int = 16,
+                 decoder: str = "auto"):
         self.frames_dir = str(frames_dir)
         self.resolution = resolution
         self.indices = np.asarray(sorted(set(int(i) for i in indices)))
         self._row = {int(f): r for r, f in enumerate(self.indices)}
         paths = [os.path.join(self.frames_dir, pattern.format(i))
                  for i in self.indices]
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            frames = list(ex.map(lambda p: _decode_frame(p, resolution),
-                                 paths))
-        self.array = np.stack(frames) if frames else np.zeros(
-            (0, *resolution, 3), np.uint8)
+        if decoder == "auto":
+            from svtpu.data import native
+            decoder = "native" if native.available() else "pil"
+        if not paths:
+            self.array = np.zeros((0, *resolution, 3), np.uint8)
+        elif decoder == "native":
+            # C++ threaded libjpeg batch decode (svtpu.data.native) —
+            # several-x faster than PIL; bilinear semantics differ from
+            # PIL's antialiased resize by ~1-2% per pixel.
+            from svtpu.data.native import decode_jpeg_batch
+            self.array = decode_jpeg_batch(paths, resolution,
+                                           threads=workers)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                frames = list(ex.map(lambda p: _decode_frame(p, resolution),
+                                     paths))
+            self.array = np.stack(frames)
 
     @property
     def item_shape(self):

@@ -1,0 +1,111 @@
+"""Declarative hyperparameter spaces for the three reference sweeps
+(SURVEY.md §2.6).
+
+Each space is a dict ``name -> spec`` where spec is one of
+  ("uniform", lo, hi) | ("log_uniform", lo, hi) |
+  ("int_uniform", lo, hi) | ("choice", [values]) | ("const", value).
+The same spec drives both the W&B sweep-config generator and the local
+seeded sampler, so sweeps run identically with or without W&B.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+Space = Dict[str, Tuple]
+
+# ``models/contrastive_RBVAE/contrastive_RBVAE_wandb_sweep.py:166-243``:
+# Bayes, maximize best_consistency_score.
+CONTRASTIVE_SPACE: Space = {
+    "learning_rate": ("log_uniform", 1e-5, 1e-2),
+    "batch_size": ("choice", [16, 32, 64]),
+    "latent_dim": ("choice", [25, 50, 75, 100]),
+    "init_temperature": ("uniform", 1.0, 5.0),
+    "final_temperature": ("uniform", 0.1, 0.5),
+    "anneal_rate": ("log_uniform", 1e-5, 1e-2),
+    "num_temp_updates": ("int_uniform", 550, 1100),
+    "noise_ratio": ("uniform", 0.1, 0.2),
+    "margin": ("uniform", 0.1, 1.0),
+    "alpha": ("uniform", 0.5, 5.0),
+    "beta_kl": ("uniform", 0.5, 5.0),
+    "num_epochs": ("const", 100),
+    "bernoulli_p": ("const", 0.1),
+    "objective": ("const", "contrastive"),
+    "select_by": ("const", "consistency"),
+}
+
+# ``models/percep_RBVAE/percep_RBVAE_wandb_sweep.py`` — same skeleton over
+# embeddings, 750 epochs.
+PERCEP_SPACE: Space = dict(CONTRASTIVE_SPACE, num_epochs=("const", 750))
+
+# ``models/triplet_RBVAE/triplet_RBVAE_wandb_sweep.py:150-213`` — optimizes
+# best_val_loss; bernoulli_p and alpha swept.
+TRIPLET_SPACE: Space = {
+    "learning_rate": ("log_uniform", 1e-5, 1e-2),
+    "batch_size": ("choice", [16, 32, 64]),
+    "latent_dim": ("choice", [25, 50, 75, 100]),
+    "init_temperature": ("uniform", 1.0, 5.0),
+    "final_temperature": ("uniform", 0.1, 0.5),
+    "anneal_rate": ("log_uniform", 1e-5, 1e-2),
+    "num_temp_updates": ("int_uniform", 550, 1100),
+    "bernoulli_p": ("uniform", 0.3, 0.7),
+    "margin": ("uniform", 0.1, 1.0),
+    "alpha": ("uniform", 0.01, 1.0),
+    "beta_kl": ("uniform", 0.5, 5.0),
+    "num_epochs": ("const", 30),
+    "objective": ("const", "triplet"),
+    "select_by": ("const", "val_loss"),
+}
+
+SPACES = {"contrastive": CONTRASTIVE_SPACE, "percep": PERCEP_SPACE,
+          "triplet": TRIPLET_SPACE}
+
+METRIC = {"contrastive": ("best_consistency_score", "maximize"),
+          "percep": ("best_consistency_score", "maximize"),
+          "triplet": ("best_val_loss", "minimize")}
+
+
+def sample(space: Space, rng: np.random.Generator) -> Dict[str, Any]:
+    out = {}
+    for name, spec in space.items():
+        kind = spec[0]
+        if kind == "uniform":
+            out[name] = float(rng.uniform(spec[1], spec[2]))
+        elif kind == "log_uniform":
+            out[name] = float(math.exp(
+                rng.uniform(math.log(spec[1]), math.log(spec[2]))))
+        elif kind == "int_uniform":
+            out[name] = int(rng.integers(spec[1], spec[2] + 1))
+        elif kind == "choice":
+            out[name] = spec[1][int(rng.integers(len(spec[1])))]
+        elif kind == "const":
+            out[name] = spec[1]
+        else:
+            raise ValueError(kind)
+    return out
+
+
+def to_wandb_config(space: Space, metric: Tuple[str, str],
+                    method: str = "bayes") -> Dict:
+    """Translate a space into a W&B sweep config dict."""
+    params = {}
+    for name, spec in space.items():
+        kind = spec[0]
+        if kind == "uniform":
+            params[name] = {"distribution": "uniform",
+                            "min": spec[1], "max": spec[2]}
+        elif kind == "log_uniform":
+            params[name] = {"distribution": "log_uniform_values",
+                            "min": spec[1], "max": spec[2]}
+        elif kind == "int_uniform":
+            params[name] = {"distribution": "int_uniform",
+                            "min": spec[1], "max": spec[2]}
+        elif kind == "choice":
+            params[name] = {"values": list(spec[1])}
+        elif kind == "const":
+            params[name] = {"value": spec[1]}
+    return {"method": method,
+            "metric": {"name": metric[0], "goal": metric[1]},
+            "parameters": params}

@@ -53,9 +53,17 @@ class BestCheckpointer:
         self._ckpt.save(path, host_tree, force=True)
         (self.directory / f"{name}.json").write_text(json.dumps(meta))
 
-    def restore(self, name: str = "best"):
+    def restore(self, name: str = "best", target=None):
+        """Restore a checkpoint. Pass ``target`` (a matching pytree, e.g. a
+        fresh TrainState's ``{"params", "opt_state"}``) to recover custom
+        node types like optax NamedTuples — orbax otherwise returns plain
+        dicts."""
         path = self.directory / name
-        tree = self._ckpt.restore(path)
+        if target is not None:
+            host_target = jax.tree_util.tree_map(np.asarray, target)
+            tree = self._ckpt.restore(path, item=host_target)
+        else:
+            tree = self._ckpt.restore(path)
         meta = json.loads((self.directory / f"{name}.json").read_text())
         return tree, meta
 

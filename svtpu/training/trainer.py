@@ -170,10 +170,16 @@ class Trainer:
         params = self.model.init(
             {"params": jax.random.key(self.seed)}, x0, 1.0, False,
             deterministic=True)
-        opt_state = self.tx.init(params["params"])
-        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=opt_state)
-        return jax.device_put(state, self._rep)
+        if "model" in self.mesh.axis_names:
+            # Tensor-parallel placement of the big projections; optimizer
+            # state inherits the same shardings through jit propagation.
+            from svtpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+        else:
+            params = jax.device_put(params, self._rep)
+        opt_state = jax.jit(self.tx.init)(params["params"])
+        step = jax.device_put(jnp.zeros((), jnp.int32), self._rep)
+        return TrainState(step=step, params=params, opt_state=opt_state)
 
     # ----------------------------------------------------------- train step
 
@@ -206,8 +212,9 @@ class Trainer:
             return TrainState(step=step, params={"params": params},
                               opt_state=opt_state), metrics
 
-        return jax.jit(train_step, donate_argnums=(0,),
-                       out_shardings=(self._rep, self._rep))
+        # Output shardings propagate from the (possibly tensor-parallel)
+        # input state; donation reuses its buffers.
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_val_step(self):
         cfg, model = self.cfg, self.model
@@ -328,7 +335,14 @@ class Trainer:
 
     def train(self, num_epochs: Optional[int] = None,
               save_path: Optional[str] = None,
-              log_every: int = 0) -> dict:
+              log_every: int = 0, resume: bool = False) -> dict:
+        """Run the full training loop.
+
+        ``resume=True`` restores the ``latest`` checkpoint from
+        ``save_path`` and continues from its epoch — mid-training resume the
+        reference's live pipeline lacks (SURVEY.md §5.4). A SIGUSR1 during
+        training checkpoints ``latest`` at the next epoch boundary (the
+        dormant SD harness's "melk" behavior, ``main.py:699-710``)."""
         cfg = self.cfg
         if cfg.objective == "simple":
             raise ValueError("use train_simple() for the simple objective")
@@ -346,9 +360,34 @@ class Trainer:
         history = {"train_losses": [], "val_losses": [], "best_epoch": 0,
                    "best_metric": (-np.inf if cfg.select_by == "consistency"
                                    else np.inf)}
+        start_epoch = 0
+        if resume and ckpt and ckpt.exists("latest"):
+            tree, meta = ckpt.restore(
+                "latest", target={"params": state.params,
+                                  "opt_state": state.opt_state})
+            state = TrainState(step=state.step,
+                               params=jax.device_put(tree["params"],
+                                                     self._rep),
+                               opt_state=jax.device_put(
+                                   tree["opt_state"], self._rep))
+            start_epoch = int(meta["epoch"]) + 1
+            history["best_metric"] = float(meta.get("best_metric",
+                                                    history["best_metric"]))
+            if np.isfinite(history["best_metric"]):
+                ckpt.best_metric = history["best_metric"]
+
+        melk_requested = [False]
+        try:
+            import signal
+
+            prev_handler = signal.signal(
+                signal.SIGUSR1, lambda *_: melk_requested.__setitem__(0, True))
+        except (ValueError, OSError):      # non-main thread etc.
+            prev_handler = None
+
         t0 = time.time()
         frames_seen = 0
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             # ---- train
             sums, nb = {}, 0
             for batch in self.train_batcher.epoch(epoch):
@@ -392,14 +431,20 @@ class Trainer:
             if better:
                 history["best_metric"] = metric
                 history["best_epoch"] = epoch
-                if ckpt:
-                    ckpt.save(
-                        {"params": state.params, "opt_state": state.opt_state},
-                        epoch=epoch, metric=metric,
-                        extra={"select_by": cfg.select_by})
+            if ckpt and (better or melk_requested[0]):
+                ckpt.save(
+                    {"params": state.params, "opt_state": state.opt_state},
+                    epoch=epoch, metric=metric,
+                    extra={"select_by": cfg.select_by,
+                           "best_metric": history["best_metric"]})
+                melk_requested[0] = False
             history["train_losses"].append(train_losses)
             history["val_losses"].append(val_losses)
 
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGUSR1, prev_handler)
         history["wall_time_s"] = time.time() - t0
         history["frames_seen"] = frames_seen
         history["final_state"] = state

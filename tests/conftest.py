@@ -1,8 +1,13 @@
 """Test config: force CPU with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
+paths are exercised without TPU hardware (SURVEY.md §4).
+
+The environment may pre-set JAX_PLATFORMS (e.g. a TPU relay) and import jax
+at interpreter startup via sitecustomize, so both the env vars and the jax
+config are forced here, before any backend is initialized.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,4 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

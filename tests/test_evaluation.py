@@ -1,0 +1,107 @@
+"""Evaluation-suite tests: perturbations, consistency protocol, hamming,
+projections, linear probe — on a tiny randomly-initialized model."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svtpu.config import rbvae_variant
+from svtpu.evaluation.common import RBVAEBundle
+from svtpu.evaluation.consistency import (evaluate_consistency,
+                                          perturb_frames, plot_results,
+                                          write_csv)
+from svtpu.evaluation.hamming import (adjacent_hamming, evaluate_hamming,
+                                      modal_codes)
+from svtpu.evaluation.linear_probe import evaluate_linear_probe
+from svtpu.evaluation.projections import evaluate_projections
+from svtpu.models.rbvae import Seq2SeqBinaryVAE
+from svtpu.ops.image import add_gaussian_noise, add_occlusion
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    cfg = rbvae_variant("contrastive", latent_dim=6, input_hw=(32, 32))
+    model = Seq2SeqBinaryVAE(cfg)
+    x0 = jnp.zeros((1, 1, 32, 32, 3))
+    params = model.init({"params": jax.random.key(0)}, x0, 1.0, False,
+                        deterministic=True)
+    return RBVAEBundle(cfg=cfg, params=params, name="test_model")
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(0)
+    f = np.zeros((30, 32, 32, 3), np.float32)
+    for i in range(30):
+        f[i, ..., i // 10] = 0.8
+    return np.clip(f + rng.normal(0, 0.05, f.shape), 0, 1).astype(np.float32)
+
+
+def test_perturbations_properties():
+    x = jnp.full((2, 16, 16, 3), 0.5)
+    noisy = add_gaussian_noise(x, jax.random.key(0), 0.1)
+    assert noisy.shape == x.shape
+    assert float(jnp.min(noisy)) >= 0 and float(jnp.max(noisy)) <= 1
+    assert not np.allclose(np.asarray(noisy), 0.5)
+
+    occ = np.asarray(add_occlusion(x, jax.random.key(1), 0.25))
+    # exactly side^2 pixels become 0.5-grey... input already 0.5; use
+    # a non-grey input instead:
+    x2 = jnp.full((1, 16, 16, 3), 0.9)
+    occ = np.asarray(add_occlusion(x2, jax.random.key(1), 0.25))
+    side = int((0.25 * 16 * 16) ** 0.5)
+    assert (occ == 0.5).all(axis=-1).sum() == side * side
+
+
+def test_perturb_frames_dispatch(frames):
+    assert perturb_frames(frames, "clean", 0) is frames
+    n = perturb_frames(frames, "noise", 0)
+    o = perturb_frames(frames, "occlusion", 0)
+    assert n.shape == o.shape == frames.shape
+    with pytest.raises(ValueError):
+        perturb_frames(frames, "bogus", 0)
+
+
+def test_consistency_protocol(bundle, frames, tmp_path):
+    idx = list(range(30))
+    flags = [10, 20]
+    results = evaluate_consistency(bundle, frames, idx, flags, num_trials=2,
+                                   perturbations=("clean", "noise"))
+    assert len(results) == 2
+    for r in results:
+        assert 0.0 <= r.mean <= 1.0
+        assert len(r.trials) == 2
+    write_csv(results, tmp_path / "c.csv")
+    assert (tmp_path / "c.csv").read_text().startswith("model,")
+    plot_results(results, tmp_path / "c.png")
+    assert (tmp_path / "c.png").exists()
+
+
+def test_hamming(bundle, frames, tmp_path):
+    idx = list(range(30))
+    res = evaluate_hamming(bundle, frames, idx, [10, 20])
+    assert res["modal_codes"].shape == (3, 6)
+    assert res["hamming"].shape == (2,)
+
+    modal = np.array([[0, 0, 1], [1, 0, 1], [1, 1, 0]], np.uint8)
+    np.testing.assert_array_equal(adjacent_hamming(modal), [1, 2])
+
+    codes = np.array([[1, 1], [1, 1], [0, 1]])
+    labels = np.array([0, 0, 1])
+    m = modal_codes(codes, labels, 2)
+    np.testing.assert_array_equal(m, [[1, 1], [0, 1]])
+
+
+def test_projections(bundle, frames, tmp_path):
+    written = evaluate_projections(bundle, frames, list(range(30)),
+                                   [10, 20], tmp_path, methods=("pca",))
+    assert "pca" in written
+
+
+def test_linear_probe(bundle, frames, tmp_path):
+    m = evaluate_linear_probe(bundle, frames,
+                              example_path=tmp_path / "ex.png")
+    assert set(m) == {"r2", "mse", "mae", "explained_variance"}
+    assert np.isfinite(m["mse"])
+    assert (tmp_path / "ex.png").exists()

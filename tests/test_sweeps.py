@@ -1,0 +1,77 @@
+"""Sweep-space and local-runner tests."""
+import numpy as np
+import pytest
+
+from svtpu.sweeps.spaces import (CONTRASTIVE_SPACE, METRIC, SPACES,
+                                 TRIPLET_SPACE, sample, to_wandb_config)
+
+
+def test_sample_respects_bounds():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        c = sample(CONTRASTIVE_SPACE, rng)
+        assert 1e-5 <= c["learning_rate"] <= 1e-2
+        assert c["batch_size"] in (16, 32, 64)
+        assert c["latent_dim"] in (25, 50, 75, 100)
+        assert 1.0 <= c["init_temperature"] <= 5.0
+        assert 550 <= c["num_temp_updates"] <= 1100
+        assert c["bernoulli_p"] == 0.1
+        assert c["objective"] == "contrastive"
+
+
+def test_triplet_space_differences():
+    rng = np.random.default_rng(1)
+    c = sample(TRIPLET_SPACE, rng)
+    assert 0.3 <= c["bernoulli_p"] <= 0.7
+    assert 0.01 <= c["alpha"] <= 1.0
+    assert c["num_epochs"] == 30
+    assert METRIC["triplet"] == ("best_val_loss", "minimize")
+
+
+def test_wandb_config_shape():
+    cfg = to_wandb_config(CONTRASTIVE_SPACE, METRIC["contrastive"])
+    assert cfg["method"] == "bayes"
+    assert cfg["metric"] == {"name": "best_consistency_score",
+                             "goal": "maximize"}
+    assert cfg["parameters"]["learning_rate"]["distribution"] == \
+        "log_uniform_values"
+    assert cfg["parameters"]["batch_size"]["values"] == [16, 32, 64]
+    assert cfg["parameters"]["num_epochs"]["value"] == 100
+
+
+def test_local_sweep_end_to_end(tmp_path):
+    """One-trial local random search over a tiny synthetic video."""
+    from svtpu.config import VideoMeta
+    from svtpu.sweeps import runner
+    from svtpu.sweeps.spaces import Space
+
+    class ArrayStore:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.array = rng.integers(0, 255, (48, 16, 16, 3),
+                                      dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("t", flags=(16, 32), last_frame=47, grey_out=0)
+    # Shrink the space for test speed.
+    tiny_space = dict(runner.SPACES["contrastive"])
+    tiny_space.update({
+        "latent_dim": ("const", 6), "batch_size": ("const", 4),
+        "num_epochs": ("const", 1),
+    })
+    runner.SPACES = dict(runner.SPACES, contrastive=tiny_space)
+    try:
+        res = runner.run_sweep("contrastive", ArrayStore(), meta, count=1,
+                               seed=0, save_dir=str(tmp_path),
+                               use_wandb=False)
+    finally:
+        runner.SPACES = SPACES
+    assert res["metric"] == "best_consistency_score"
+    assert len(res["trials"]) == 1
+    assert (tmp_path / "sweep_results.json").exists()

@@ -120,3 +120,23 @@ def test_pair_batcher_shapes(synth_video):
     batches = list(b.epoch(0))
     assert all(x.shape == (4, 2, 3, 32, 32, 3) for x in batches)
     assert all(x.dtype == np.uint8 for x in batches)
+
+
+def test_resume_from_latest(synth_video, tmp_path):
+    trainer, _, _ = _setup(synth_video)
+    hist1 = trainer.train(num_epochs=1, save_path=str(tmp_path / "ck"))
+    hist2 = trainer.train(num_epochs=3, save_path=str(tmp_path / "ck"),
+                          resume=True)
+    # Resumed run starts after the saved epoch: only epochs 1..2 run.
+    assert len(hist2["train_losses"]) == 2
+
+
+def test_utils_profiling_steptimer():
+    from svtpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    s = t.summary()
+    assert s["steps"] == 3 and s["mean_s"] >= 0
