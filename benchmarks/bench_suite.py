@@ -1,0 +1,198 @@
+"""Extended benchmark suite (beyond the driver's headline bench.py).
+
+Measures, on the available TPU:
+  * RBVAE encode throughput (pixels → binary codes), batch sweep
+  * RBVAE train-step throughput (frames/sec through the full fused pair step)
+  * AutoencoderKL encoder throughput at SD resolution (1280x704 → latents)
+  * flash-attention kernel TFLOPS at the mid-block shape
+  * host data plane: native JPEG batch decode vs PIL
+
+All timings force a device readback (remote relays make block_until_ready
+unreliable). Prints one JSON object per line.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, args_list):
+    import jax.numpy as jnp
+
+    out = fn(*args_list[0])
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + sync
+    t0 = time.perf_counter()
+    for a in args_list:
+        out = fn(*a)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / len(args_list)
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def bench_rbvae_encode():
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.image import to_float01
+
+    cfg = rbvae_variant("contrastive", latent_dim=50,
+                        compute_dtype="bfloat16")
+    model = Seq2SeqBinaryVAE(cfg)
+    x0 = jnp.zeros((1, 1, 256, 256, 3), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x0, 1.0, False,
+                        deterministic=True)
+
+    @jax.jit
+    def enc(p, f, k):
+        return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                           method=Seq2SeqBinaryVAE.encode,
+                           deterministic=False, bc_rng=k).astype(jnp.uint8)
+
+    rng = np.random.default_rng(0)
+    for batch in (64, 256, 512):
+        frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                          dtype=np.uint8))
+        args = [(params, frames, jax.random.key(i)) for i in range(6)]
+        dt = timed(enc, args)
+        print(json.dumps({"bench": "rbvae_encode", "batch": batch,
+                          "frames_per_sec": round(batch / dt, 1)}))
+
+
+def bench_rbvae_train_step():
+    from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
+    from svtpu.data.segments import split_segments
+    from svtpu.training.trainer import Trainer
+
+    class Store:
+        def __init__(self):
+            r = np.random.default_rng(0)
+            self.array = r.integers(0, 255, (480, 256, 256, 3),
+                                    dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("b", flags=(74, 206, 282, 389), last_frame=479,
+                     grey_out=10)
+    splits = split_segments(meta.state_segments())
+    mcfg = rbvae_variant("contrastive", latent_dim=50,
+                         compute_dtype="bfloat16")
+    tcfg = TrainConfig(batch_size=32)
+    tr = Trainer(mcfg, tcfg, Store(), splits, meta.flags)
+    state = tr.init_state()
+    step = tr._make_train_step()
+    batch = next(iter(tr.train_batcher.epoch(0)))
+    b = jax.device_put(jnp.asarray(batch), tr._bsh)
+    key = jax.random.key(0)
+    state, m = step(state, b, key)
+    float(m["total_loss"])  # sync
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, b, key)
+    float(m["total_loss"])
+    dt = (time.perf_counter() - t0) / n
+    frames = int(np.prod(batch.shape[:3]))
+    print(json.dumps({"bench": "rbvae_train_step", "batch_frames": frames,
+                      "frames_per_sec": round(frames / dt, 1),
+                      "step_ms": round(dt * 1e3, 2)}))
+
+
+def bench_sd_encoder():
+    from svtpu.config import PerceptualConfig
+    from svtpu.models.autoencoder_kl import AutoencoderKL
+
+    cfg = PerceptualConfig()
+    model = AutoencoderKL(cfg)
+    x0 = jnp.zeros((1, 704, 1280, 3), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x0)
+
+    @jax.jit
+    def enc(p, x):
+        return model.apply(p, x, method=AutoencoderKL.encode)
+
+    rng = np.random.default_rng(0)
+    for batch in (1, 4, 8):
+        x = jnp.asarray(rng.normal(size=(batch, 704, 1280, 3)),
+                        jnp.float32)
+        args = [(params, x * (1 + 0.01 * i)) for i in range(4)]
+        dt = timed(enc, args)
+        print(json.dumps({"bench": "sd_encoder_1280x704", "batch": batch,
+                          "frames_per_sec": round(batch / dt, 2),
+                          "ms_per_frame": round(dt / batch * 1e3, 1)}))
+
+
+def bench_flash_attention():
+    from svtpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    B, N, D = 1, 14080, 512
+    mk = lambda: jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    f = jax.jit(flash_attention)
+    args = [(q * (1 + 0.01 * i), k, v) for i in range(5)]
+    dt = timed(f, args)
+    print(json.dumps({"bench": "flash_attention_midblock",
+                      "tokens": N, "dim": D,
+                      "tflops": round(4 * N * N * D / dt / 1e12, 1),
+                      "ms": round(dt * 1e3, 2)}))
+
+
+def bench_data_plane(tmpdir="/tmp/svtpu_bench_frames"):
+    import os
+    from pathlib import Path
+
+    from PIL import Image
+
+    from svtpu.data import native
+
+    Path(tmpdir).mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(128):
+        p = Path(tmpdir) / f"{i:010d}.jpg"
+        if not p.exists():
+            yy, xx = np.mgrid[0:432, 0:768]
+            img = np.stack([(yy + i) % 256, xx % 256, (yy + xx) % 256],
+                           -1).astype(np.uint8)
+            Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+
+    t0 = time.perf_counter()
+    native.decode_jpeg_batch(paths, (256, 256))
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.stack([np.asarray(Image.open(p).convert("RGB")
+                             .resize((256, 256), Image.BILINEAR))
+                  for p in paths])
+    t_pil = time.perf_counter() - t0
+    print(json.dumps({"bench": "jpeg_decode_128",
+                      "native_fps": round(128 / t_native, 0),
+                      "pil_fps": round(128 / t_pil, 0),
+                      "speedup": round(t_pil / t_native, 2)}))
+
+
+if __name__ == "__main__":
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    benches = {
+        "rbvae_encode": bench_rbvae_encode,
+        "train_step": bench_rbvae_train_step,
+        "sd_encoder": bench_sd_encoder,
+        "attention": bench_flash_attention,
+        "data": bench_data_plane,
+    }
+    for name, fn in benches.items():
+        if which in ("all", name):
+            fn()

@@ -172,18 +172,53 @@ def _bundle(args, store):
 
 
 def cmd_eval_consistency(args):
+    from svtpu.data.datasets import FrameStore
     from svtpu.data.segments import split_segments
     from svtpu.evaluation.consistency import (evaluate_consistency,
                                               plot_results, write_csv)
 
     meta = _video_meta(args)
-    store, splits = _pixel_store(args, meta)
+    pixel_to_input = None
+    if args.variant == "percep":
+        # Percep models: perturb pixels at SD resolution, re-encode through
+        # the AutoencoderKL per trial (reference
+        # ``embedding_matching.py:251-257``).
+        if not getattr(args, "sd_ckpt", None):
+            raise SystemExit("--sd-ckpt is required for --variant percep")
+        from svtpu.config import PerceptualConfig
+        from svtpu.perceptual.convert import (convert_autoencoder_kl,
+                                              load_torch_checkpoint)
+        from svtpu.perceptual.embed import PerceptualEncoder, preprocess_size
+
+        pcfg = PerceptualConfig()
+        enc = PerceptualEncoder(
+            convert_autoencoder_kl(load_torch_checkpoint(args.sd_ckpt),
+                                   pcfg), pcfg)
+        w, h = preprocess_size(pcfg.resize_wh)
+        splits = split_segments(meta.state_segments(), args.test_pct,
+                                args.val_pct)
+        all_idx = splits.flat("test")
+        store = FrameStore(args.frames_dir, all_idx, resolution=(h, w))
+
+        def pixel_to_input(frames01, seed):
+            enc.seed = seed
+            return enc.encode_frames(
+                np.clip(frames01 * 255.0, 0, 255).astype(np.uint8))
+    else:
+        store, splits = _pixel_store(args, meta)
     test_idx = splits.flat("test")
     frames01 = store.gather(np.asarray(test_idx)).astype(np.float32) / 255.0
-    bundle = _bundle(args, store)
+    bundle = _bundle(args, store) if args.variant != "percep" else None
+    if bundle is None:
+        from svtpu.config import rbvae_variant
+        from svtpu.evaluation.common import RBVAEBundle
+
+        cfg = rbvae_variant("percep", latent_dim=args.latent_dim)
+        bundle = RBVAEBundle.from_checkpoint(args.ckpt, cfg, name="percep")
     results = evaluate_consistency(bundle, frames01, test_idx, meta.flags,
                                    num_trials=args.trials,
-                                   temperature=args.temperature)
+                                   temperature=args.temperature,
+                                   pixel_to_input=pixel_to_input)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     write_csv(results, out / "consistency.csv")
@@ -348,6 +383,8 @@ def main(argv=None):
         sp.add_argument("--temperature", type=float, default=0.2)
         sp.add_argument("--trials", type=int, default=10)
         sp.add_argument("--out-dir", default="eval_out")
+        sp.add_argument("--sd-ckpt",
+                        help="SD checkpoint (percep-variant evals)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("interpolate", help="SD latent interpolation demo")

@@ -150,6 +150,37 @@ class PairBatcher:
             yield self.store.gather(idx)
 
 
+class RandomPairBatcher:
+    """Legacy sampling mode: each item draws a fresh random frame-pair per
+    state (reference ``SampleStatePairDataset``,
+    ``contrastive_RBVAE_train.py:119-162``), with a virtual ``num_items``
+    length. Kept for parity; ``PairBatcher`` is the workhorse."""
+
+    def __init__(self, store, state_segments, batch_size: int,
+                 num_items: int = 1000, seed: int = 0):
+        self.store = store
+        self.batch_size = batch_size
+        self.num_items = num_items
+        self.seed = seed
+        self.state_indices = [np.arange(s, e) for s, e in state_segments]
+
+    def num_batches(self) -> int:
+        return -(-self.num_items // self.batch_size)
+
+    def epoch(self, epoch_idx: int) -> Iterable[np.ndarray]:
+        rng = np.random.default_rng(self.seed + 104729 * (epoch_idx + 1))
+        S = len(self.state_indices)
+        for _ in range(self.num_batches()):
+            idx = np.zeros((self.batch_size, 2, S), np.int64)
+            for s, frames in enumerate(self.state_indices):
+                if len(frames) == 1:
+                    idx[:, :, s] = frames[0]
+                else:
+                    for b in range(self.batch_size):
+                        idx[b, :, s] = rng.choice(frames, 2, replace=False)
+            yield self.store.gather(idx)
+
+
 class SegmentBatcher:
     """Simple-variant data: one item = all frames of one state segment
     (reference ``StateSegmentDataset``, ``simple_RBVAE_train.py:91-140``),
