@@ -111,3 +111,25 @@ def test_checkpoint_dict_unwrapping():
             "consistency_score": 0.9}
     params = convert_rbvae(ckpt, cfg)
     assert "encoder_cnn" in params["params"]
+
+
+def test_bitmatch_vs_torch_reference_codes():
+    """Fidelity metric: ported checkpoint must produce 100% bit-identical
+    hard codes vs the torch model in deterministic mode."""
+    from svtpu.evaluation.bitmatch import bit_match, codes_from_torch_checkpoint
+
+    torch.manual_seed(2)
+    twin = TorchTwin().eval()
+    cfg = rbvae_variant("contrastive", latent_dim=LATENT, input_hw=(RES, RES))
+    x = torch.rand(12, 3, RES, RES)
+    with torch.no_grad():
+        # torch codes: per-frame T=1 encode, no noise, hard threshold
+        _, h_t, _, _ = twin.forward_no_noise(x[:, None], 0.2)
+        torch_codes = (torch.sigmoid(h_t[:, 0] / 0.2) > 0.5).float().numpy()
+
+    frames = x.numpy().transpose(0, 2, 3, 1)
+    codes = codes_from_torch_checkpoint(twin.state_dict(), cfg, frames,
+                                        temperature=0.2)
+    m = bit_match(codes, torch_codes)
+    assert m["bit_match_pct"] == 100.0
+    assert m["exact_code_match_pct"] == 100.0

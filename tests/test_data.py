@@ -93,3 +93,36 @@ def test_epoch_batches_pads_to_static_shape():
     batches = epoch_batches(table, batch_size=4, seed=1)
     assert batches.shape[1:] == (4, 2, 2)
     assert batches.shape[0] == -(-len(table) // 4)
+
+
+def test_random_pair_batcher():
+    from svtpu.data.datasets import RandomPairBatcher
+
+    class Store:
+        def gather(self, idx):
+            idx = np.asarray(idx)
+            return np.broadcast_to(idx[..., None, None, None],
+                                   idx.shape + (4, 4, 3)).astype(np.uint8)
+
+    segs = [(0, 10), (20, 21), (30, 40)]
+    b = RandomPairBatcher(Store(), segs, batch_size=4, num_items=10, seed=0)
+    batches = list(b.epoch(0))
+    assert len(batches) == 3
+    x = batches[0]
+    assert x.shape == (4, 2, 3, 4, 4, 3)
+    # pair members within a state are distinct when >1 frame exists
+    vals = x[..., 0, 0, 0]
+    assert (vals[:, 0, 0] != vals[:, 1, 0]).all()      # state 0: 10 frames
+    assert (vals[:, 0, 1] == 20).all() and (vals[:, 1, 1] == 20).all()
+    # determinism by (seed, epoch)
+    again = list(RandomPairBatcher(Store(), segs, 4, 10, seed=0).epoch(0))
+    np.testing.assert_array_equal(batches[0], again[0])
+
+
+def test_visualize_summary():
+    from svtpu.config import rbvae_variant
+    from svtpu.models.visualize import summarize
+
+    cfg = rbvae_variant("contrastive", latent_dim=6, input_hw=(32, 32))
+    table = summarize(cfg)
+    assert "encoder_cnn" in table and "decoder_rnn" in table
