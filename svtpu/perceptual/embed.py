@@ -61,7 +61,9 @@ class PerceptualEncoder:
         self.model = AutoencoderKL(cfg)
         self.params = params
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.batch_size = batch_size
+        # Batches shard over the data axis — round up to a multiple.
+        ndata = int(self.mesh.devices.shape[0])
+        self.batch_size = -(-batch_size // ndata) * ndata
         self.stochastic = stochastic
         self.seed = seed
         self._bsh = batch_sharding(self.mesh)
