@@ -107,8 +107,13 @@ class PerceptualEncoder:
 
     def decode_latents(self, z_nhwc: np.ndarray) -> np.ndarray:
         """Scaled latents → [0,1] pixels (for the interpolation demo)."""
-        return np.asarray(self._decode(
-            self.params, jax.device_put(jnp.asarray(z_nhwc), self._bsh)))
+        from svtpu.parallel.mesh import pad_to_multiple
+
+        ndata = int(self.mesh.devices.shape[0])
+        z, n = pad_to_multiple(np.asarray(z_nhwc), ndata)
+        out = self._decode(self.params,
+                           jax.device_put(jnp.asarray(z), self._bsh))
+        return np.asarray(out)[:n]
 
 
 def precompute_embeddings(frames_dir: str | Path, out_path: str | Path,
