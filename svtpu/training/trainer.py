@@ -136,12 +136,16 @@ class Trainer:
 
     def __init__(self, model_cfg: RBVAEConfig, train_cfg: TrainConfig,
                  store, splits: SplitIndices, flags: Sequence[int],
-                 mesh=None, seed: Optional[int] = None):
+                 mesh=None, seed: Optional[int] = None,
+                 labels_by_index: Optional[dict] = None):
         self.mcfg = model_cfg
         self.cfg = train_cfg
         self.store = store
         self.splits = splits
         self.flags = list(flags)
+        # Multi-video runs pass an explicit frame-id → state-id map
+        # (svtpu.data.multi); single-video runs derive labels from flags.
+        self.labels_by_index = labels_by_index
         self.seed = train_cfg.seed if seed is None else seed
         self.mesh = mesh if mesh is not None else make_mesh(
             train_cfg.mesh_shape, train_cfg.mesh_axes)
@@ -287,8 +291,14 @@ class Trainer:
         frames = self.store.gather(np.asarray(val_idx))
         codes = self.encode_frames(params, frames, temperature, hard=True,
                                    noise=noise, seed=seed)
-        labels = np.asarray([assign_label(i, self.flags) for i in val_idx])
-        return modal_consistency(codes, labels, len(self.flags) + 1)
+        if self.labels_by_index is not None:
+            labels = np.asarray([self.labels_by_index[i] for i in val_idx])
+            num_states = int(max(self.labels_by_index.values())) + 1
+        else:
+            labels = np.asarray([assign_label(i, self.flags)
+                                 for i in val_idx])
+            num_states = len(self.flags) + 1
+        return modal_consistency(codes, labels, num_states)
 
     # ------------------------------------------------------------ main loop
 
@@ -387,14 +397,16 @@ class Trainer:
 
         t0 = time.time()
         frames_seen = 0
+        from svtpu.data.prefetch import prefetch_to_device
+
         for epoch in range(start_epoch, num_epochs):
-            # ---- train
+            # ---- train (batches prefetched to device 2 steps ahead)
             sums, nb = {}, 0
-            for batch in self.train_batcher.epoch(epoch):
-                b = jax.device_put(jnp.asarray(batch), self._bsh)
+            for b in prefetch_to_device(self.train_batcher.epoch(epoch),
+                                        self._bsh):
                 state, metrics = train_step(state, b, base_key)
                 nb += 1
-                frames_seen += int(np.prod(batch.shape[:3]))
+                frames_seen += int(np.prod(b.shape[:3]))
                 if log_every and nb % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     self.writer.scalars("Batch", m, int(state.step))

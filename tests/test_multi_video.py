@@ -1,0 +1,62 @@
+"""Multi-video dataset combination + triplet training across videos."""
+import numpy as np
+import pytest
+
+from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
+from svtpu.data.multi import OFFSET, MultiStore, combine_videos
+from svtpu.training.trainer import Trainer
+
+
+class ArrayStore:
+    def __init__(self, n, base):
+        rng = np.random.default_rng(base)
+        self.array = (rng.integers(0, 255, (n, 16, 16, 3), dtype=np.uint8))
+
+    @property
+    def item_shape(self):
+        return self.array.shape[1:]
+
+    def gather(self, idx):
+        return self.array[np.asarray(idx)]
+
+
+def _spec():
+    a = (ArrayStore(48, 0),
+         VideoMeta("a", flags=(16, 32), last_frame=47, grey_out=0))
+    b = (ArrayStore(30, 1),
+         VideoMeta("b", flags=(10,), last_frame=29, grey_out=0))
+    return [a, b]
+
+
+def test_combine_videos_states_and_labels():
+    store, splits, labels = combine_videos(_spec(), 0.15, 0.15)
+    assert len(splits.train) == 3 + 2          # states concat across videos
+    # Video b's ids live in the OFFSET block and map to states 3..4.
+    b_ids = [i for i in labels if i >= OFFSET]
+    assert b_ids and all(labels[i] in (3, 4) for i in b_ids)
+    a_ids = [i for i in labels if i < OFFSET]
+    assert all(labels[i] in (0, 1, 2) for i in a_ids)
+
+
+def test_multistore_gather_routes_by_video():
+    specs = _spec()
+    store = MultiStore([s for s, _ in specs])
+    ids = np.array([[0, OFFSET + 0], [5, OFFSET + 5]])
+    out = store.gather(ids)
+    assert out.shape == (2, 2, 16, 16, 3)
+    np.testing.assert_array_equal(out[0, 0], specs[0][0].array[0])
+    np.testing.assert_array_equal(out[0, 1], specs[1][0].array[0])
+
+
+def test_triplet_training_across_videos():
+    store, splits, labels = combine_videos(_spec(), 0.15, 0.15)
+    mcfg = rbvae_variant("triplet", latent_dim=6, input_hw=(16, 16))
+    tcfg = TrainConfig(batch_size=8, objective="triplet",
+                       select_by="val_loss")
+    tr = Trainer(mcfg, tcfg, store, splits, flags=[], seed=0,
+                 labels_by_index=labels)
+    hist = tr.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["triplet_loss"])
+    # consistency over combined states computes with the explicit label map
+    w, pct = tr.state_consistency(hist["final_state"].params, 0.2)
+    assert 0.0 <= w <= 1.0 and len(pct) == 5
