@@ -171,6 +171,22 @@ def _bundle(args, store):
     return RBVAEBundle.from_checkpoint(args.ckpt, cfg, name=args.variant)
 
 
+def _eval_store(args, meta):
+    """FrameStore for pixel models, EmbeddingStore when --embeddings is
+    given (percep models evaluate in embedding space for hamming/
+    projections/probe, matching the reference's precomputed-embedding
+    path)."""
+    from svtpu.data.segments import split_segments
+
+    if getattr(args, "embeddings", None):
+        from svtpu.data.datasets import EmbeddingStore
+
+        splits = split_segments(meta.state_segments(), args.test_pct,
+                                args.val_pct)
+        return EmbeddingStore(args.embeddings), splits
+    return _pixel_store(args, meta)
+
+
 def cmd_eval_consistency(args):
     from svtpu.data.datasets import FrameStore
     from svtpu.data.segments import split_segments
@@ -233,7 +249,7 @@ def cmd_eval_hamming(args):
                                           write_csv)
 
     meta = _video_meta(args)
-    store, splits = _pixel_store(args, meta)
+    store, splits = _eval_store(args, meta)
     test_idx = splits.flat("test")
     frames = store.gather(np.asarray(test_idx))
     bundle = _bundle(args, store)
@@ -248,7 +264,7 @@ def cmd_eval_hamming(args):
 
 def cmd_eval_projections(args):
     meta = _video_meta(args)
-    store, splits = _pixel_store(args, meta)
+    store, splits = _eval_store(args, meta)
     test_idx = splits.flat("test")
     frames = store.gather(np.asarray(test_idx))
     bundle = _bundle(args, store)
@@ -261,7 +277,7 @@ def cmd_eval_projections(args):
 
 def cmd_eval_probe(args):
     meta = _video_meta(args)
-    store, splits = _pixel_store(args, meta)
+    store, splits = _eval_store(args, meta)
     test_idx = splits.flat("test")
     frames = store.gather(np.asarray(test_idx))
     bundle = _bundle(args, store)
@@ -373,7 +389,7 @@ def main(argv=None):
                      ("eval-probe", cmd_eval_probe)]:
         sp = sub.add_parser(name)
         _add_video_args(sp)
-        sp.add_argument("--frames-dir", required=True)
+        sp.add_argument("--frames-dir")
         sp.add_argument("--ckpt", required=True)
         sp.add_argument("--variant", default="contrastive")
         sp.add_argument("--latent-dim", type=int, default=32)
@@ -385,6 +401,8 @@ def main(argv=None):
         sp.add_argument("--out-dir", default="eval_out")
         sp.add_argument("--sd-ckpt",
                         help="SD checkpoint (percep-variant evals)")
+        sp.add_argument("--embeddings",
+                        help=".npy embeddings (percep-variant evals)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("interpolate", help="SD latent interpolation demo")
