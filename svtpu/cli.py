@@ -137,7 +137,8 @@ def cmd_train(args):
                                     num_epochs=args.epochs)
         print(json.dumps(hist["train_losses"][-1]))
         return
-    hist = trainer.train(num_epochs=args.epochs, save_path=args.save_path)
+    hist = trainer.train(num_epochs=args.epochs, save_path=args.save_path,
+                         resume=args.resume)
     print(f"best {tcfg.select_by}: {hist['best_metric']:.4f} "
           f"at epoch {hist['best_epoch']}")
 
@@ -364,6 +365,8 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--save-path")
     sp.add_argument("--log-dir")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in save-path")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sweep", help="hyperparameter sweep")

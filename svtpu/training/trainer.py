@@ -149,6 +149,14 @@ class Trainer:
         self.seed = train_cfg.seed if seed is None else seed
         self.mesh = mesh if mesh is not None else make_mesh(
             train_cfg.mesh_shape, train_cfg.mesh_axes)
+        # Batches shard over the data axis — round the batch size up to a
+        # multiple so sweeps/configs never hit divisibility errors.
+        ndata = int(self.mesh.devices.shape[0])
+        if train_cfg.batch_size % ndata:
+            train_cfg = dataclasses.replace(
+                train_cfg, batch_size=-(-train_cfg.batch_size // ndata)
+                * ndata)
+            self.cfg = train_cfg
         self.model = Seq2SeqBinaryVAE(model_cfg)
         self.tx = optax.adam(train_cfg.learning_rate)
         self.writer = MetricsWriter(train_cfg.log_dir)
