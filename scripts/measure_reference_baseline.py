@@ -60,11 +60,56 @@ def throughput(model, batch, n_frames=64):
     return done / dt
 
 
+class SDEncoderEquivalent(nn.Module):
+    """Torch model with the reference AutoencoderKL encoder's compute
+    profile (ldm/modules/diffusionmodules/model.py:368-459 via
+    v1-inference.yaml: ch 128, mult 1/2/4/4, 2 resblocks, single-head
+    mid attention over the 88x160 bottleneck): conv stacks per level plus
+    the quadratic attention, which dominate the reference's per-frame cost."""
+
+    def __init__(self, ch=128, mults=(1, 2, 4, 4)):
+        super().__init__()
+        layers = [nn.Conv2d(3, ch, 3, 1, 1)]
+        cin = ch
+        for i, m in enumerate(mults):
+            for _ in range(2):
+                layers += [nn.GroupNorm(32, cin, eps=1e-6), nn.SiLU(),
+                           nn.Conv2d(cin, ch * m, 3, 1, 1)]
+                cin = ch * m
+            if i != len(mults) - 1:
+                layers += [nn.Conv2d(cin, cin, 3, 2, 1)]
+        self.trunk = nn.Sequential(*layers)
+        self.qkv = nn.Conv2d(cin, 3 * cin, 1)
+        self.out = nn.Conv2d(cin, 8, 3, 1, 1)
+
+    def forward(self, x):
+        h = self.trunk(x)
+        q, k, v = self.qkv(h).chunk(3, dim=1)
+        b, c, hh, w = q.shape
+        qf = q.reshape(b, c, hh * w).permute(0, 2, 1)
+        kf = k.reshape(b, c, hh * w)
+        att = torch.softmax(torch.bmm(qf, kf) * (c ** -0.5), dim=2)
+        vf = v.reshape(b, c, hh * w)
+        h = torch.bmm(vf, att.permute(0, 2, 1)).reshape(b, c, hh, w)
+        return self.out(h)
+
+
+def sd_encoder_seconds_per_frame():
+    torch.manual_seed(0)
+    m = SDEncoderEquivalent().eval()
+    x = torch.rand(1, 3, 704, 1280)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        m(x)
+        return time.perf_counter() - t0
+
+
 def main():
     torch.manual_seed(0)
     model = Encoder().eval()
     fps1 = throughput(model, 1, 32)
     fps32 = throughput(model, 32, 64)
+    sd_spf = sd_encoder_seconds_per_frame()
     out = {
         "description": "reference-equivalent torch encode throughput "
                        "(contrastive RBVAE, 256x256, latent 50)",
@@ -75,6 +120,8 @@ def main():
         "frames_per_sec_batch32": round(fps32, 2),
         "protocol": "batch1 = reference eval protocol "
                     "(frame-at-a-time [1,1,C,H,W]); batch32 = batched",
+        "sd_encoder_sec_per_frame": round(sd_spf, 3),
+        "sd_encoder_frames_per_sec": round(1.0 / sd_spf, 3),
     }
     with open("BENCH_BASELINE.json", "w") as f:
         json.dump(out, f, indent=2)
