@@ -393,6 +393,11 @@ class Trainer:
                                                     history["best_metric"]))
             if np.isfinite(history["best_metric"]):
                 ckpt.best_metric = history["best_metric"]
+            # Restore the global step so the temperature schedule resumes
+            # where it left off instead of re-annealing from init.
+            state = state.replace(step=jax.device_put(
+                jnp.asarray(int(meta.get("global_step", 0)), jnp.int32),
+                self._rep))
 
         melk_requested = [False]
         try:
@@ -456,7 +461,8 @@ class Trainer:
                     {"params": state.params, "opt_state": state.opt_state},
                     epoch=epoch, metric=metric,
                     extra={"select_by": cfg.select_by,
-                           "best_metric": history["best_metric"]})
+                           "best_metric": history["best_metric"],
+                           "global_step": int(state.step)})
                 melk_requested[0] = False
             history["train_losses"].append(train_losses)
             history["val_losses"].append(val_losses)
