@@ -62,3 +62,57 @@ def test_deterministic_mode_stable(tiny_bundle):
         0, 255, (4, 48, 64, 3), dtype=np.uint8)
     c1, c2 = pipe.run_frames(frames), pipe.run_frames(frames)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_percep_mode_pipeline(tiny_bundle):
+    """Pixels → tiny AutoencoderKL → percep RBVAE codes."""
+    import jax.numpy as jnp
+    from svtpu.config import PerceptualConfig, rbvae_variant
+    from svtpu.models.autoencoder_kl import AutoencoderKL
+    from svtpu.perceptual.embed import PerceptualEncoder
+
+    pcfg = PerceptualConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2),
+                            num_res_blocks=1, compute_dtype="float32",
+                            resize_wh=(64, 64))
+    ae = AutoencoderKL(pcfg)
+    ae_params = ae.init({"params": jax.random.key(1)},
+                        jnp.zeros((1, 64, 64, 3)))
+    enc = PerceptualEncoder(ae_params, pcfg, batch_size=8, stochastic=False)
+
+    # latent resolution: 64 → 32 with one downsample
+    rcfg = rbvae_variant("percep", latent_dim=6, input_hw=(32, 32),
+                         conv_features=(32, 32, 32), lstm_layers=2)
+    model_params = None
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+
+    model = Seq2SeqBinaryVAE(rcfg)
+    model_params = model.init({"params": jax.random.key(2)},
+                              jnp.zeros((1, 1, 32, 32, 4)), 1.0, False,
+                              deterministic=True)
+
+    from svtpu.pipeline import VideoSymbolPipeline
+
+    pipe = VideoSymbolPipeline(rcfg, model_params, percep=enc, batch=8)
+    frames = np.random.default_rng(2).integers(
+        0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    codes = pipe.run_frames(frames)
+    assert codes.shape == (8, 6)
+    assert set(np.unique(codes)) <= {0, 1}
+
+
+def test_prefetch_propagates_errors():
+    import jax.numpy as jnp
+    from jax.sharding import SingleDeviceSharding
+    import jax
+    from svtpu.data.prefetch import prefetch_to_device
+
+    def gen():
+        yield np.zeros((2, 2), np.float32)
+        raise RuntimeError("boom")
+
+    sh = SingleDeviceSharding(jax.devices()[0])
+    it = prefetch_to_device(gen(), sh)
+    first = next(it)
+    assert first.shape == (2, 2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
