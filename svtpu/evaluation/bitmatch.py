@@ -9,7 +9,7 @@ is always measured with noise off.
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

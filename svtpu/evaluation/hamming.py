@@ -6,7 +6,7 @@ temp 0.2 / hard=True / noise_ratio 0.3, :193-288 charts + CSV)."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

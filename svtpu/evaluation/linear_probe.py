@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from svtpu.evaluation.common import RBVAEBundle
-from svtpu.models.rbvae import Seq2SeqBinaryVAE
 
 
 def hidden_states(bundle: RBVAEBundle, frames: np.ndarray,

@@ -20,8 +20,7 @@ TPU-first choices:
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ match wins; unmatched params are replicated.
 from __future__ import annotations
 
 import re
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -10,12 +10,11 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
 from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
-from svtpu.data.datasets import EmbeddingStore, FrameStore
 from svtpu.data.segments import split_segments
 from svtpu.sweeps.spaces import METRIC, SPACES, sample, to_wandb_config
 from svtpu.training.trainer import Trainer

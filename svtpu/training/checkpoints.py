@@ -7,7 +7,6 @@ support, which the live reference pipeline lacks (SURVEY.md §5.4).
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from pathlib import Path
