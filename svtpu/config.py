@@ -219,6 +219,10 @@ class TrainConfig:
     seed: int = 0
     # Loss family: "contrastive" | "triplet" | "simple".
     objective: str = "contrastive"
+    # Triplet distance: "l2" (reference default, F.triplet_margin_loss) or
+    # "js" (the reference's defined-but-unused Bernoulli-JS triplet,
+    # ``triplet_RBVAE_train.py:99-119``, computed on z_seq probabilities).
+    triplet_distance: str = "l2"
     # Model selection: "consistency" (contrastive/percep,
     # ``contrastive_RBVAE_train.py:662-673``) or "val_loss" (triplet,
     # ``triplet_RBVAE_train.py:597-608``).

@@ -93,10 +93,20 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
         # (``triplet_RBVAE_train.py:461-468``). The reference averages the
         # per-state means; flattening (B, S-1) into the batch gives the same
         # value since every state has batch-B triplets.
-        a = h0[:, :-1].reshape(-1, h0.shape[-1])
-        p = h1[:, :-1].reshape(-1, h0.shape[-1])
-        n = h0[:, 1:].reshape(-1, h0.shape[-1])
-        aux = losses.triplet_margin(a, p, n, margin=cfg.margin, swap=True)
+        if cfg.triplet_distance == "js":
+            # Bernoulli-JS triplet on the relaxed z probabilities
+            # (the reference's defined-but-unused variant, fixed).
+            z0, z1 = out.z_seq[:B], out.z_seq[B:]
+            a = z0[:, :-1].reshape(-1, z0.shape[-1])
+            p = z1[:, :-1].reshape(-1, z0.shape[-1])
+            n = z0[:, 1:].reshape(-1, z0.shape[-1])
+            aux = losses.triplet_js(a, p, n, margin=cfg.margin)
+        else:
+            a = h0[:, :-1].reshape(-1, h0.shape[-1])
+            p = h1[:, :-1].reshape(-1, h0.shape[-1])
+            n = h0[:, 1:].reshape(-1, h0.shape[-1])
+            aux = losses.triplet_margin(a, p, n, margin=cfg.margin,
+                                        swap=True)
         aux_name = "triplet_loss"
     else:
         raise ValueError(cfg.objective)

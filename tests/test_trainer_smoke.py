@@ -140,3 +140,17 @@ def test_utils_profiling_steptimer():
             pass
     s = t.summary()
     assert s["steps"] == 3 and s["mean_s"] >= 0
+
+
+def test_triplet_js_objective(synth_video):
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("triplet", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, objective="triplet",
+                       triplet_distance="js", select_by="val_loss")
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["triplet_loss"])
