@@ -94,7 +94,10 @@ def bench_rbvae_train_step():
     batch = next(iter(tr.train_batcher.epoch(0)))
     b = jax.device_put(jnp.asarray(batch), tr._bsh)
     key = jax.random.key(0)
-    state, m = step(state, b, key)
+    # Warm thoroughly: the first few post-compile invocations through the
+    # remote relay run orders of magnitude slower than steady state.
+    for _ in range(8):
+        state, m = step(state, b, key)
     float(m["total_loss"])  # sync
     n = 5
     t0 = time.perf_counter()
