@@ -23,8 +23,11 @@ def _kernel(seed_ref, temp_ref, scale_ref, logits_ref, out_ref,
     if noisy:
         pltpu.prng_seed(seed_ref[0])
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
-        # uint32 → uniform [0, 1): keep 24 high bits for an exact float32.
-        u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+        # uint32 → uniform [0, 1): keep the 24 high bits (exact in f32).
+        # Mosaic has no uint32→f32 cast; the top-8-bits-clear value is
+        # non-negative, so bitcast to int32 and cast from there.
+        u24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        u = u24.astype(jnp.float32) * (1.0 / (1 << 24))
         noise = jnp.log(u + eps) - jnp.log(1.0 - u + eps)
         x = x + scale_ref[0] * noise
     y = jax.nn.sigmoid(x / temp_ref[0])

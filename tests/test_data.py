@@ -126,3 +126,23 @@ def test_visualize_summary():
     cfg = rbvae_variant("contrastive", latent_dim=6, input_hw=(32, 32))
     table = summarize(cfg)
     assert "encoder_cnn" in table and "decoder_rnn" in table
+
+
+def test_temperature_schedule_matches_stateful_reference():
+    """Our pure schedule vs a simulation of the reference's stateful
+    annealer (contrastive_RBVAE_train.py:392-405)."""
+    import numpy as np
+    from svtpu.training.schedules import temperature_schedule
+
+    init, final, rate, n = 2.0, 0.2, 1e-3, 7
+
+    # Stateful reference behavior: global_step incremented before the read;
+    # temperature only recomputed when step % n == 0.
+    cur = init
+    ours, ref = [], []
+    for step in range(1, 300):
+        if step % n == 0:
+            cur = max(final, init * np.exp(-rate * step))
+        ref.append(cur)
+        ours.append(float(temperature_schedule(step, init, final, rate, n)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
