@@ -49,7 +49,7 @@ class ConvEncoder(nn.Module):
     cfg: RBVAEConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         h = x.astype(dtype)
@@ -71,7 +71,7 @@ class ConvDecoder(nn.Module):
     cfg: RBVAEConfig
 
     @nn.compact
-    def __call__(self, z: jax.Array, *, deterministic: bool) -> jax.Array:
+    def __call__(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         eh, ew = c.encoded_hw
@@ -105,8 +105,14 @@ class Seq2SeqBinaryVAE(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.encoder_cnn = ConvEncoder(c, name="encoder_cnn")
-        self.decoder_cnn = ConvDecoder(c, name="decoder_cnn")
+        enc_cls, dec_cls = ConvEncoder, ConvDecoder
+        if c.remat:
+            # Recompute conv-trunk activations in the backward pass instead
+            # of holding them in HBM (jax.checkpoint via nn.remat).
+            enc_cls = nn.remat(ConvEncoder, static_argnums=(2,))
+            dec_cls = nn.remat(ConvDecoder, static_argnums=(2,))
+        self.encoder_cnn = enc_cls(c, name="encoder_cnn")
+        self.decoder_cnn = dec_cls(c, name="decoder_cnn")
         self.encoder_rnn = LSTM(c.latent_dim, c.lstm_layers, dtype=dtype,
                                 name="encoder_rnn")
         self.decoder_rnn = LSTM(c.latent_dim, c.lstm_layers, dtype=dtype,
@@ -118,7 +124,7 @@ class Seq2SeqBinaryVAE(nn.Module):
         c = self.cfg
         B, T = x.shape[:2]
         flat = x.reshape((B * T,) + x.shape[2:])
-        logits = self.encoder_cnn(flat, deterministic=deterministic)
+        logits = self.encoder_cnn(flat, deterministic)
         logits = logits.reshape(B, T, c.latent_dim)
 
         if c.binarize == "pre_rnn":
@@ -163,7 +169,7 @@ class Seq2SeqBinaryVAE(nn.Module):
             d_in = z_seq       # others: decoder consumes binarized latents
         d_seq = self.decoder_rnn(d_in)
         d_flat = d_seq.reshape(B * T, c.latent_dim)
-        x_recon = self.decoder_cnn(d_flat, deterministic=deterministic)
+        x_recon = self.decoder_cnn(d_flat, deterministic)
         x_recon = x_recon.reshape((B, T) + x_recon.shape[1:])
         return RBVAEOutput(x_recon=x_recon, h_seq=h_seq, z_seq=z_seq,
                            logits=logits)

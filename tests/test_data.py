@@ -146,3 +146,24 @@ def test_temperature_schedule_matches_stateful_reference():
         ref.append(cur)
         ours.append(float(temperature_schedule(step, init, final, rate, n)))
     np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_symbol_store_roundtrip(tmp_path):
+    from svtpu.data.symbols import SymbolStore, pack_codes, unpack_codes
+
+    rng = np.random.default_rng(0)
+    codes = (rng.random((10, 25)) > 0.5).astype(np.uint8)
+    ids = np.arange(100, 110)
+    store = SymbolStore(codes, ids, labels=np.arange(10) // 3)
+    assert store.packed.shape == (10, 4)      # ceil(25/8)
+    np.testing.assert_array_equal(store.codes, codes)
+    np.testing.assert_array_equal(store.code_of(103), codes[3])
+
+    p = tmp_path / "sym.npz"
+    store.save(p)
+    back = SymbolStore.load(p)
+    np.testing.assert_array_equal(back.codes, codes)
+    np.testing.assert_array_equal(back.labels, store.labels)
+    assert len(back) == 10
+    np.testing.assert_array_equal(
+        unpack_codes(pack_codes(codes), 25), codes)

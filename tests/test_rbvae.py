@@ -94,3 +94,19 @@ def test_grad_flows_through_hard_binarization():
     leaves = jax.tree_util.tree_leaves(g)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert np.isfinite(total) and total > 0
+
+
+def test_remat_variant_matches_nonremat():
+    """remat=True must be numerically identical to remat=False."""
+    cfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    cfg_r = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32),
+                          remat=True)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 32, 32, 3))
+    m, mr = Seq2SeqBinaryVAE(cfg), Seq2SeqBinaryVAE(cfg_r)
+    p = m.init({"params": jax.random.key(1)}, x, 1.0, False,
+               deterministic=True)
+    out = m.apply(p, x, 0.5, False, deterministic=True)
+    out_r = mr.apply(p, x, 0.5, False, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out.x_recon),
+                               np.asarray(out_r.x_recon), rtol=1e-5,
+                               atol=1e-6)
