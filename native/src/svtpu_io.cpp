@@ -115,6 +115,23 @@ extern "C" int svtpu_vr_next(void* handle, uint8_t* out) {
   }
 }
 
+// Read up to max_frames sequential frames into out[max_frames, h, w, 3].
+// Returns the number of frames produced (0 at EOF, <0 on error). Amortizes
+// the per-call FFI overhead for batch consumers.
+extern "C" int svtpu_vr_read_batch(void* handle, uint8_t* out,
+                                   int max_frames) {
+  auto* vr = static_cast<VideoReader*>(handle);
+  const size_t frame_bytes = (size_t)vr->w * vr->h * 3;
+  int n = 0;
+  while (n < max_frames) {
+    int r = svtpu_vr_next(handle, out + (size_t)n * frame_bytes);
+    if (r < 0) return r;
+    if (r == 0) break;
+    ++n;
+  }
+  return n;
+}
+
 extern "C" void svtpu_vr_close(void* handle) {
   auto* vr = static_cast<VideoReader*>(handle);
   if (!vr) return;

@@ -41,6 +41,10 @@ def _load():
             lib.svtpu_vr_next.restype = ctypes.c_int
             lib.svtpu_vr_next.argtypes = [ctypes.c_void_p,
                                           ctypes.POINTER(ctypes.c_uint8)]
+            lib.svtpu_vr_read_batch.restype = ctypes.c_int
+            lib.svtpu_vr_read_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int]
             lib.svtpu_vr_close.argtypes = [ctypes.c_void_p]
             lib.svtpu_jpeg_decode_batch.restype = ctypes.c_int
             lib.svtpu_jpeg_decode_batch.argtypes = [
@@ -91,6 +95,20 @@ class VideoReader:
             if r < 0:
                 raise IOError(f"native decode error {r}")
             yield buf.copy()
+
+    def read_batch(self, max_frames: int,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Read up to ``max_frames`` frames in one FFI call →
+        ``[n, H, W, 3]`` (n may be short at EOF)."""
+        if out is None:
+            out = np.empty((max_frames, self.height, self.width, 3),
+                           np.uint8)
+        n = self._lib.svtpu_vr_read_batch(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            max_frames)
+        if n < 0:
+            raise IOError(f"native decode error {n}")
+        return out[:n]
 
     def close(self):
         if self._h:

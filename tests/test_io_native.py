@@ -104,3 +104,13 @@ def test_native_matches_cv2_decode(tiny_video):
     assert len(cv2_frames) == len(nat_frames)
     diff = np.abs(cv2_frames[0].astype(int) - nat_frames[0].astype(int))
     assert diff.mean() < 5
+
+
+@needs_native
+def test_native_read_batch(tiny_video):
+    with native.VideoReader(tiny_video) as vr:
+        b1 = vr.read_batch(5)
+        assert b1.shape == (5, 48, 64, 3)
+        b2 = vr.read_batch(100)          # rest of the 12-frame video
+        assert b2.shape == (7, 48, 64, 3)
+        assert vr.read_batch(4).shape[0] == 0   # EOF

@@ -154,3 +154,21 @@ def test_triplet_js_objective(synth_video):
     tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
     hist = tr.train(num_epochs=1)
     assert np.isfinite(hist["train_losses"][0]["triplet_loss"])
+
+
+def test_best_checkpointer_modes(tmp_path):
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    ck = BestCheckpointer(tmp_path / "max", mode="max")
+    assert ck.save({"w": np.ones(2)}, epoch=0, metric=0.5)
+    assert not ck.save({"w": np.ones(2) * 2}, epoch=1, metric=0.4)
+    assert ck.save({"w": np.ones(2) * 3}, epoch=2, metric=0.9)
+    tree, meta = ck.restore("best")
+    assert meta["metric"] == 0.9 and tree["w"][0] == 3
+    _, latest = ck.restore("latest")
+    assert latest["epoch"] == 2
+
+    ck2 = BestCheckpointer(tmp_path / "min", mode="min")
+    assert ck2.save({"w": np.zeros(1)}, epoch=0, metric=1.0)
+    assert ck2.save({"w": np.zeros(1)}, epoch=1, metric=0.2)
+    assert not ck2.save({"w": np.zeros(1)}, epoch=2, metric=0.7)
