@@ -121,18 +121,36 @@ def precompute_embeddings(frames_dir: str | Path, out_path: str | Path,
                           batch_size: int = 8, stochastic: bool = True,
                           seed: int = 0, pattern: str = "*.jpg",
                           workers: int = 16) -> Dict[str, np.ndarray]:
-    """Frames dir → ``<video>_perceps.npy``-format dict, batched on TPU."""
+    """Frames dir → ``<video>_perceps.npy``-format dict, batched on TPU.
+
+    Host decode (LANCZOS, the reference's preprocessing) overlaps device
+    encode: the thread pool decodes chunk k+1 while chunk k is on the TPU.
+    """
     frames_dir = Path(frames_dir)
     paths = sorted(frames_dir.glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no frames matching {pattern} in {frames_dir}")
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        frames = np.stack(list(ex.map(
-            lambda p: load_frame_pm1(str(p), cfg.resize_wh), paths)))
 
     enc = PerceptualEncoder(params, cfg, batch_size=batch_size,
                             stochastic=stochastic, seed=seed)
-    latents = enc.encode_frames(frames)        # [N, h, w, 4]
+    chunk = max(enc.batch_size * 4, 32)
+    ex = ThreadPoolExecutor(max_workers=workers)
+
+    def decode_chunk(i):
+        part = paths[i:i + chunk]
+        return np.stack(list(ex.map(
+            lambda p: load_frame_pm1(str(p), cfg.resize_wh), part)))
+
+    latents_parts = []
+    pending = decode_chunk(0) if paths else None
+    for i in range(0, len(paths), chunk):
+        nxt = (ex.submit(decode_chunk, i + chunk)
+               if i + chunk < len(paths) else None)
+        enc.seed = seed + i   # decorrelate posterior noise across chunks
+        latents_parts.append(enc.encode_frames(pending))
+        pending = nxt.result() if nxt is not None else None
+    ex.shutdown()
+    latents = np.concatenate(latents_parts)    # [N, h, w, 4]
     emb = {p.name: np.transpose(z, (2, 0, 1))[None].astype(np.float32)
            for p, z in zip(paths, latents)}    # [1, 4, h, w] like reference
     if out_path:
