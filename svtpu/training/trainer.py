@@ -277,14 +277,17 @@ class Trainer:
         """
         model, cfg = self.model, self.cfg
 
-        if chunk not in self._compiled_encode:
-            def enc(params, x, key):
+        if "enc" not in self._compiled_encode:
+            def enc(params, x, key, temp, hard, noise):
                 return model.apply(
-                    params, x[:, None], temperature, hard, cfg.noise_ratio,
+                    params, x[:, None], temp, hard, cfg.noise_ratio,
                     method=Seq2SeqBinaryVAE.encode,
                     deterministic=not noise, bc_rng=key if noise else None)
-            self._compiled_encode[chunk] = jax.jit(enc)
-        enc = self._compiled_encode[chunk]
+            # temperature is traced; hard/noise are static (they change the
+            # computation graph).
+            self._compiled_encode["enc"] = jax.jit(enc,
+                                                   static_argnums=(4, 5))
+        enc = self._compiled_encode["enc"]
 
         n = len(frames)
         out = []
@@ -295,7 +298,8 @@ class Trainer:
             if pad:
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
             x = _prep(jax.device_put(jnp.asarray(part), self._bsh))
-            z = enc(params, x, jax.random.fold_in(key, i))
+            z = enc(params, x, jax.random.fold_in(key, i),
+                    jnp.float32(temperature), hard, noise)
             out.append(np.asarray(z)[:, 0][:len(frames[i:i + chunk])])
         return np.concatenate(out) if out else np.zeros((0,))
 
