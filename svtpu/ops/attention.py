@@ -129,11 +129,68 @@ def blocked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :N]
 
 
+def _attention_bwd_chunked(q, k, v, g, chunk: int = 1024):
+    """Memory-bounded attention backward (recompute, query-chunked):
+    standard softmax-attention gradients with peak memory O(chunk * N)."""
+    B, N, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    qf, kf, vf, gf = (a.astype(jnp.float32) for a in (q, k, v, g))
+
+    pad = (-N) % chunk
+    if pad:
+        qf = jnp.pad(qf, ((0, 0), (0, pad), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, pad), (0, 0)))
+    nq = qf.shape[1] // chunk
+    qc = jnp.swapaxes(qf.reshape(B, nq, chunk, D), 0, 1)
+    gc = jnp.swapaxes(gf.reshape(B, nq, chunk, D), 0, 1)
+
+    def per_chunk(args):
+        qb, gb = args                                     # [B, chunk, D]
+        s = jnp.einsum("bqd,bkd->bqk", qb, kf) * scale
+        p = jax.nn.softmax(s, axis=-1)                    # [B, chunk, N]
+        dp = jnp.einsum("bqd,bkd->bqk", gb, vf)
+        dv = jnp.einsum("bqk,bqd->bkd", p, gb)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+        dk = jnp.einsum("bqk,bqd->bkd", ds, qb) * scale
+        return dq, dk, dv
+
+    dq_c, dk_c, dv_c = jax.lax.map(per_chunk, (qc, gc))
+    dq = jnp.swapaxes(dq_c, 0, 1).reshape(B, -1, D)[:, :N]
+    dk = jnp.sum(dk_c, axis=0)
+    dv = jnp.sum(dv_c, axis=0)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_ad(q, k, v, use_pallas: bool):
+    if use_pallas:
+        return flash_attention(q, k, v)
+    return blocked_attention(q, k, v)
+
+
+def _attention_ad_fwd(q, k, v, use_pallas):
+    return _attention_ad(q, k, v, use_pallas), (q, k, v)
+
+
+def _attention_ad_bwd(use_pallas, res, g):
+    q, k, v = res
+    return _attention_bwd_chunked(q, k, v, g)
+
+
+_attention_ad.defvjp(_attention_ad_fwd, _attention_ad_bwd)
+
+
 def attention(q, k, v, *, use_pallas: bool | None = None,
               interpret: bool = False):
-    """Dispatch: Pallas flash kernel on TPU, blocked XLA elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU, blocked XLA elsewhere.
+
+    Differentiable: the backward pass is a query-chunked recompute
+    (``_attention_bwd_chunked``), so fine-tuning through the perceptual
+    encoder works even though the forward is a Pallas kernel.
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
-        return flash_attention(q, k, v, interpret=interpret)
-    return blocked_attention(q, k, v)
+    if interpret:
+        return flash_attention(q, k, v, interpret=True)
+    return _attention_ad(q, k, v, bool(use_pallas))

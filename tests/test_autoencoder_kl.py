@@ -235,3 +235,45 @@ def test_flash_attention_interpret_matches_blocked():
     got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_attention_custom_vjp_matches_autodiff():
+    """Chunked recompute backward == autodiff through naive attention."""
+    from svtpu.ops.attention import attention
+
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 96, 32)), np.float32)
+               for _ in range(3))
+
+    def naive(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(32)
+        return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, -1), v)
+
+    def loss_ours(q, k, v):
+        return jnp.sum(attention(q, k, v, use_pallas=False) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(naive(q, k, v) ** 2)
+
+    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_autoencoder_grad_flows(twin):
+    """End-to-end grads through the JAX AE (incl. attention VJP)."""
+    model = AutoencoderKL(TINY)
+    params = _jax_params(twin)
+    x = jnp.asarray(np.random.default_rng(6).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+
+    def loss(p):
+        m = model.apply(p, x, method=AutoencoderKL.encode)
+        return jnp.mean(m ** 2)
+
+    g = jax.grad(loss)(params)
+    tot = sum(float(jnp.sum(jnp.abs(l)))
+              for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(tot) and tot > 0
