@@ -172,3 +172,29 @@ def test_best_checkpointer_modes(tmp_path):
     assert ck2.save({"w": np.zeros(1)}, epoch=0, metric=1.0)
     assert ck2.save({"w": np.zeros(1)}, epoch=1, metric=0.2)
     assert not ck2.save({"w": np.zeros(1)}, epoch=2, metric=0.7)
+
+
+def test_ema_litema_semantics():
+    import jax.numpy as jnp
+    from svtpu.training.ema import ema_init, ema_update
+
+    p0 = {"w": jnp.zeros(3)}
+    st = ema_init(p0)
+    p1 = {"w": jnp.ones(3)}
+    st = ema_update(st, p1, decay=0.9999)
+    # First update uses the warmup-capped decay d = min(0.9999, 2/11);
+    # ema = d*ema + (1-d)*p = (1-d).
+    d = 2.0 / 11.0
+    np.testing.assert_allclose(np.asarray(st.ema["w"]), np.full(3, 1.0 - d),
+                               rtol=1e-6)
+    assert int(st.updates) == 1
+
+
+def test_lambda_linear_schedule():
+    from svtpu.training.ema import lambda_linear_schedule
+
+    s = lambda_linear_schedule(1e-3, warmup_steps=100, f_start=0.0)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(50)) - 5e-4) < 1e-8
+    assert abs(float(s(100)) - 1e-3) < 1e-9
+    assert abs(float(s(1000)) - 1e-3) < 1e-9
