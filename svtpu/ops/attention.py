@@ -62,6 +62,29 @@ def _pick_block(n: int, candidates=(1408, 1024, 704, 512, 256, 128)) -> int:
     return 0
 
 
+def _vmem_bytes(bq: int, bk: int, d: int, itemsize: int) -> int:
+    """Rough VMEM need: double-buffered q/k/v blocks + f32 scores, weights,
+    and accumulator."""
+    io = 2 * (bq + 2 * bk) * d * itemsize          # pipelined in-blocks
+    score = 2 * bq * bk * 4                        # s and p
+    acc = bq * d * 4 + 2 * bq * 4 + bq * d * itemsize  # acc, m, l, out
+    return io + score + acc
+
+
+def _pick_blocks(n: int, d: int, itemsize: int,
+                 budget: int = 12 << 20) -> tuple[int, int]:
+    """Largest (block_q, block_k) dividing n that fits the VMEM budget."""
+    for bq in (512, 256, 128):
+        if n % bq:
+            continue
+        for bk in (1408, 1024, 704, 512, 256, 128):
+            if n % bk:
+                continue
+            if _vmem_bytes(bq, bk, d, itemsize) <= budget:
+                return bq, bk
+    return 0, 0
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     block_q: int | None = None, block_k: int | None = None,
                     interpret: bool = False) -> jax.Array:
@@ -76,8 +99,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     B, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    block_q = block_q or _pick_block(N, (512, 256, 128))
-    block_k = block_k or _pick_block(N)
+    if not block_q or not block_k:
+        auto_q, auto_k = _pick_blocks(N, D, q.dtype.itemsize)
+        block_q = block_q or auto_q
+        block_k = block_k or auto_k
     if not block_q or not block_k or N % block_q or N % block_k:
         # Ragged N: the blocked XLA path handles padding exactly.
         return blocked_attention(q, k, v)
