@@ -105,3 +105,25 @@ def test_linear_probe(bundle, frames, tmp_path):
     assert set(m) == {"r2", "mse", "mae", "explained_variance"}
     assert np.isfinite(m["mse"])
     assert (tmp_path / "ex.png").exists()
+
+
+def test_consistency_pixel_to_input_hook(bundle, frames):
+    """The percep-path hook (perturbed pixels → model-input space) is
+    invoked per trial with the trial seed."""
+    calls = []
+
+    def fake_hook(frames01, seed):
+        calls.append(seed)
+        return frames01  # identity "encoder"
+
+    res = evaluate_consistency(bundle, frames, list(range(30)), [10, 20],
+                               num_trials=2, perturbations=("clean",),
+                               pixel_to_input=fake_hook)
+    assert len(calls) == 2 and calls[0] != calls[1]
+    assert 0.0 <= res[0].mean <= 1.0
+
+
+def test_distributed_initialize_noop():
+    from svtpu.parallel.distributed import initialize
+
+    assert initialize() is False      # single-process: safe no-op
