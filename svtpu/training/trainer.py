@@ -118,9 +118,12 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
 
 
 def simple_objective(model, cfg: TrainConfig, params, batch, temperature,
-                     hard, key, deterministic):
+                     hard, key, deterministic, mask=None):
     """Bare recon+KL loss on whole state segments
-    (``simple_RBVAE_train.py:169-188``). ``batch``: ``[B, T, H, W, C]``."""
+    (``simple_RBVAE_train.py:169-188``). ``batch``: ``[B, T, H, W, C]``;
+    ``mask``: optional ``[B, T]`` validity (SegmentBatcher pads every
+    segment to the longest one for static shapes — padded steps must not
+    contribute, since the reference runs exact-length segments)."""
     x = _prep(batch)
     k_drop, k_bin = jax.random.split(key)
     out = model.apply(
@@ -128,8 +131,21 @@ def simple_objective(model, cfg: TrainConfig, params, batch, temperature,
         deterministic=deterministic,
         rngs=None if deterministic else {"dropout": k_drop, "binary": k_bin},
         bc_rng=k_bin)
-    recon = losses.recon_mse(out.x_recon, x)
-    kl = losses.kl_binary_concrete(out.logits, p=cfg.bernoulli_p)
+    if mask is None:
+        recon = losses.recon_mse(out.x_recon, x)
+        kl = losses.kl_binary_concrete(out.logits, p=cfg.bernoulli_p)
+    else:
+        m = mask.astype(jnp.float32)                         # [B, T]
+        per_frame = jnp.mean((out.x_recon - x) ** 2,
+                             axis=tuple(range(2, x.ndim)))   # [B, T]
+        recon = jnp.sum(per_frame * m) / jnp.maximum(jnp.sum(m), 1.0)
+        q = jnp.clip(jax.nn.sigmoid(out.logits), 1e-8, 1 - 1e-8)
+        log_p = jnp.log(cfg.bernoulli_p)
+        log_1mp = jnp.log1p(-cfg.bernoulli_p)
+        kl_bt = jnp.sum(q * (jnp.log(q + 1e-8) - log_p)
+                        + (1 - q) * (jnp.log(1 - q + 1e-8) - log_1mp),
+                        axis=-1)                             # [B, T]
+        kl = jnp.sum(kl_bt * m) / jnp.maximum(jnp.sum(m), 1.0)
     total = recon + cfg.beta_kl * kl
     return total, {"total_loss": total, "recon_loss": recon, "kl_loss": kl}
 
@@ -336,13 +352,13 @@ class Trainer:
         model = self.model
 
         @jax.jit
-        def step_fn(state, batch, key):
+        def step_fn(state, batch, mask, key):
             key = jax.random.fold_in(key, state.step)
 
             def loss_fn(p):
                 return simple_objective(model, cfg, {"params": p}, batch,
                                         temperature, False, key,
-                                        deterministic=False)
+                                        deterministic=False, mask=mask)
 
             grads, metrics = jax.grad(loss_fn, has_aux=True)(
                 state.params["params"])
@@ -357,9 +373,10 @@ class Trainer:
         history = {"train_losses": []}
         for epoch in range(num_epochs):
             last = {}
-            for batch, _mask in batcher.epoch(epoch):
+            for batch, mask in batcher.epoch(epoch):
                 b = jax.device_put(jnp.asarray(batch), self._rep)
-                state, metrics = step_fn(state, b, base_key)
+                m = jax.device_put(jnp.asarray(mask), self._rep)
+                state, metrics = step_fn(state, b, m, base_key)
                 last = {k: float(v) for k, v in metrics.items()}
             history["train_losses"].append(last)
         history["final_state"] = state

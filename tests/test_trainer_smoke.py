@@ -198,3 +198,32 @@ def test_lambda_linear_schedule():
     assert abs(float(s(50)) - 5e-4) < 1e-8
     assert abs(float(s(100)) - 1e-3) < 1e-9
     assert abs(float(s(1000)) - 1e-3) < 1e-9
+
+
+def test_simple_objective_mask_excludes_padding():
+    import jax
+    import jax.numpy as jnp
+    from svtpu.training.trainer import simple_objective
+
+    mcfg = rbvae_variant("simple", latent_dim=4, input_hw=(64, 64))
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+
+    model = Seq2SeqBinaryVAE(mcfg)
+    x_valid = jax.random.uniform(jax.random.key(0), (1, 3, 64, 64, 3))
+    params = model.init({"params": jax.random.key(1)}, x_valid, 1.0, False,
+                        deterministic=True)
+    cfg = TrainConfig(objective="simple", bernoulli_p=0.1)
+
+    # Pad with garbage frames; masked loss must equal the unpadded loss.
+    garbage = jnp.ones((1, 2, 64, 64, 3))
+    x_pad = jnp.concatenate([x_valid, garbage], axis=1)
+    mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0, 0.0]])
+
+    l_ref, _ = simple_objective(model, cfg, params, x_valid, 0.5, False,
+                                jax.random.key(2), True)
+    l_mask, _ = simple_objective(model, cfg, params, x_pad, 0.5, False,
+                                 jax.random.key(2), True, mask=mask)
+    # Not exactly equal (the LSTM sees the padded steps downstream of the
+    # valid ones? No — padding is after, so valid-step outputs are
+    # unaffected by later inputs in a causal LSTM).
+    assert abs(float(l_ref) - float(l_mask)) < 1e-5
