@@ -17,3 +17,27 @@ Layer map (mirrors reference SURVEY.md §1, rebuilt TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import svtpu` light; heavy deps load on use).
+    _api = {
+        "Seq2SeqBinaryVAE": ("svtpu.models.rbvae", "Seq2SeqBinaryVAE"),
+        "AutoencoderKL": ("svtpu.models.autoencoder_kl", "AutoencoderKL"),
+        "Trainer": ("svtpu.training.trainer", "Trainer"),
+        "TrainConfig": ("svtpu.config", "TrainConfig"),
+        "RBVAEConfig": ("svtpu.config", "RBVAEConfig"),
+        "PerceptualConfig": ("svtpu.config", "PerceptualConfig"),
+        "rbvae_variant": ("svtpu.config", "rbvae_variant"),
+        "VideoMeta": ("svtpu.config", "VideoMeta"),
+        "VideoSymbolPipeline": ("svtpu.pipeline", "VideoSymbolPipeline"),
+        "PerceptualEncoder": ("svtpu.perceptual.embed", "PerceptualEncoder"),
+        "RBVAEBundle": ("svtpu.evaluation.common", "RBVAEBundle"),
+        "SymbolStore": ("svtpu.data.symbols", "SymbolStore"),
+    }
+    if name in _api:
+        import importlib
+
+        mod, attr = _api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'svtpu' has no attribute {name!r}")
