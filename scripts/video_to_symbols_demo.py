@@ -27,9 +27,14 @@ def main(video_path, ckpt_dir, out_path="data/chinchess_symbols.npz",
     cfg = rbvae_variant("contrastive", latent_dim=latent_dim,
                         compute_dtype="bfloat16")
     tree, ck_meta = BestCheckpointer(ckpt_dir).restore("best")
+    # Reference eval protocol: temp 0.2, hard=True, Binary-Concrete noise on
+    # (``embedding_matching.py:264``); per-state *modal* codes are the
+    # propositional symbols.
     pipe = VideoSymbolPipeline(cfg, tree["params"], batch=64,
-                               temperature=0.2, hard=True, noise=False)
+                               temperature=0.2, hard=True, noise=True,
+                               noise_ratio=0.3, resize_on="host")
 
+    codes = pipe.run_video(video_path)      # warm (includes compile)
     t0 = time.time()
     codes = pipe.run_video(video_path)
     dt = time.time() - t0

@@ -43,7 +43,8 @@ class VideoSymbolPipeline:
     def __init__(self, cfg: RBVAEConfig, params, *, percep=None,
                  batch: int = 64, temperature: float = 0.2,
                  hard: bool = True, noise: bool = True,
-                 noise_ratio: float = 0.1, seed: int = 0, depth: int = 2):
+                 noise_ratio: float = 0.1, seed: int = 0, depth: int = 2,
+                 resize_on: str = "device"):
         self.cfg = cfg
         self.model = Seq2SeqBinaryVAE(cfg)
         self.params = params
@@ -55,16 +56,22 @@ class VideoSymbolPipeline:
         self.noise_ratio = noise_ratio
         self.seed = seed
         self.depth = depth
+        # resize_on="device" minimizes host work (right when host→device
+        # bandwidth is plentiful); "host" shrinks frames before transfer
+        # (right on slow links — 5x fewer bytes for 768x432 → 256x256).
+        self.resize_on = resize_on
 
         model = self.model
         if percep is None:
             target_hw = cfg.input_hw
+            on_device = resize_on == "device"
 
             def encode(params, frames_u8, key):
                 x = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
-                x = jax.image.resize(
-                    x, (x.shape[0],) + target_hw + (x.shape[-1],),
-                    method="bilinear")
+                if on_device:
+                    x = jax.image.resize(
+                        x, (x.shape[0],) + target_hw + (x.shape[-1],),
+                        method="bilinear")
                 z = model.apply(params, x[:, None], temperature, hard,
                                 noise_ratio,
                                 method=Seq2SeqBinaryVAE.encode,
@@ -161,5 +168,13 @@ class VideoSymbolPipeline:
             emb = self.percep.encode_frames(resized)
             return np.asarray(self._encode(self.params, jnp.asarray(emb),
                                            key))
+        if self.resize_on == "host" and frames_u8.shape[1:3] != \
+                self.cfg.input_hw:
+            import cv2
+
+            th, tw = self.cfg.input_hw
+            frames_u8 = np.stack([
+                cv2.resize(f, (tw, th), interpolation=cv2.INTER_LINEAR)
+                for f in frames_u8])
         return np.asarray(self._encode(self.params,
                                        jnp.asarray(frames_u8), key))
