@@ -338,6 +338,30 @@ class Trainer:
             num_states = len(self.flags) + 1
         return modal_consistency(codes, labels, num_states)
 
+    def state_separation(self, params, temperature: float,
+                         seed: int = 0) -> float:
+        """Mean adjacent-state Hamming distance of *deterministic* modal
+        codes (svtpu addition: the reference's consistency metric only
+        measures within-state agreement and is blind to all states
+        collapsing onto one code — this metric exposes that)."""
+        from svtpu.evaluation.hamming import adjacent_hamming, modal_codes
+
+        val_idx = [i for s in self.splits.val for i in s]
+        if not val_idx:
+            return 0.0
+        frames = self.store.gather(np.asarray(val_idx))
+        codes = self.encode_frames(params, frames, temperature, hard=True,
+                                   noise=False, seed=seed)
+        if self.labels_by_index is not None:
+            labels = np.asarray([self.labels_by_index[i] for i in val_idx])
+            num_states = int(max(self.labels_by_index.values())) + 1
+        else:
+            labels = np.asarray([assign_label(i, self.flags)
+                                 for i in val_idx])
+            num_states = len(self.flags) + 1
+        ham = adjacent_hamming(modal_codes(codes, labels, num_states))
+        return float(ham.mean()) if len(ham) else 0.0
+
     # ------------------------------------------------------------ main loop
 
     def train_simple(self, state_segments, num_epochs: Optional[int] = None,
@@ -472,6 +496,8 @@ class Trainer:
             score, per_state = self.state_consistency(
                 state.params, cfg.final_temperature, seed=epoch)
             val_losses["consistency_score"] = float(score)
+            val_losses["state_separation"] = self.state_separation(
+                state.params, cfg.final_temperature)
             for i, p in enumerate(per_state):
                 val_losses[f"state_{i}_consistency"] = float(p)
 

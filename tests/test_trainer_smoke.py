@@ -227,3 +227,11 @@ def test_simple_objective_mask_excludes_padding():
     # valid ones? No — padding is after, so valid-step outputs are
     # unaffected by later inputs in a causal LSTM).
     assert abs(float(l_ref) - float(l_mask)) < 1e-5
+
+
+def test_state_separation_metric(synth_video):
+    trainer, _, _ = _setup(synth_video)
+    hist = trainer.train(num_epochs=1)
+    assert "state_separation" in hist["val_losses"][0]
+    sep = hist["val_losses"][0]["state_separation"]
+    assert 0.0 <= sep <= trainer.mcfg.latent_dim
