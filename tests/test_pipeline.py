@@ -116,3 +116,17 @@ def test_prefetch_propagates_errors():
     assert first.shape == (2, 2)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_host_resize_path_matches_device(tiny_bundle):
+    cfg, params = tiny_bundle
+    frames = np.random.default_rng(3).integers(
+        0, 255, (4, 48, 64, 3), dtype=np.uint8)
+    dev = VideoSymbolPipeline(cfg, params, batch=4, noise=False,
+                              resize_on="device").run_frames(frames)
+    host = VideoSymbolPipeline(cfg, params, batch=4, noise=False,
+                               resize_on="host").run_frames(frames)
+    # Different resize kernels (jax.image vs cv2) → codes may differ on
+    # borderline bits, but shapes/binary-ness must hold and most bits agree.
+    assert dev.shape == host.shape
+    assert (dev == host).mean() > 0.5
