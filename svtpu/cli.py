@@ -126,6 +126,7 @@ def cmd_train(args):
         num_steps_to_update=args.num_steps_to_update,
         bernoulli_p=args.bernoulli_p, noise_ratio=args.noise_ratio,
         margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
+        contrast_on=args.contrast_on,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
         select_by=("val_loss" if args.variant == "triplet"
@@ -359,6 +360,7 @@ def main(argv=None):
     sp.add_argument("--margin", type=float, default=0.2)
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)
+    sp.add_argument("--contrast-on", default="h", choices=["h", "z"])
     sp.add_argument("--test-pct", type=float, default=0.1)
     sp.add_argument("--val-pct", type=float, default=0.1)
     sp.add_argument("--dtype", default="bfloat16")

@@ -227,6 +227,11 @@ class TrainConfig:
     # "js" (the reference's defined-but-unused Bernoulli-JS triplet,
     # ``triplet_RBVAE_train.py:99-119``, computed on z_seq probabilities).
     triplet_distance: str = "l2"
+    # Representation the contrastive/triplet losses act on: "h" (reference:
+    # the continuous encoder-LSTM output) or "z" (the relaxed Binary-
+    # Concrete probabilities — ties the margin to the binarization boundary
+    # and counteracts the all-states-one-code collapse; DESIGN.md §8).
+    contrast_on: str = "h"
     # Model selection: "consistency" (contrastive/percep,
     # ``contrastive_RBVAE_train.py:662-673``) or "val_loss" (triplet,
     # ``triplet_RBVAE_train.py:597-608``).

@@ -76,7 +76,8 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
     # The reference feeds the *binarized* z_seq to the Bernoulli KL
     # (``contrastive_RBVAE_train.py:500``) — preserved.
     kl = losses.kl_binary_concrete(out.z_seq, p=cfg.bernoulli_p)
-    h0, h1 = out.h_seq[:B], out.h_seq[B:]
+    rep = out.h_seq if cfg.contrast_on == "h" else out.z_seq
+    h0, h1 = rep[:B], rep[B:]
 
     if cfg.objective == "contrastive":
         sim = losses.contrastive(h0, h1, 0.0, margin=cfg.margin)

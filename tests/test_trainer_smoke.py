@@ -235,3 +235,17 @@ def test_state_separation_metric(synth_video):
     assert "state_separation" in hist["val_losses"][0]
     sep = hist["val_losses"][0]["state_separation"]
     assert 0.0 <= sep <= trainer.mcfg.latent_dim
+
+
+def test_contrast_on_z(synth_video):
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, objective="contrastive",
+                       contrast_on="z")
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["contrast_loss"])
