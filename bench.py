@@ -25,7 +25,7 @@ def main():
     from svtpu.ops.image import to_float01
 
     latent = 50
-    batch, reps = 256, 8
+    batch, reps = 256, 32
     cfg = rbvae_variant("contrastive", latent_dim=latent,
                         compute_dtype="bfloat16")
     model = Seq2SeqBinaryVAE(cfg)
@@ -45,16 +45,36 @@ def main():
     frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
                                       dtype=np.uint8))
     key = jax.random.key(1)
-    # Warmup + compile; np.asarray forces a device round-trip (plain
-    # block_until_ready is unreliable through remote-execution relays).
-    np.asarray(encode(params, frames, key))
+    # Compile + warm up. The first 1-3 post-compile invocations through the
+    # remote-execution relay run ~50x slower than steady state, and plain
+    # block_until_ready does not reliably block, so: >=8 warmup calls, each
+    # synced by a (small) readback.
+    for i in range(8):
+        np.asarray(encode(params, frames, jax.random.fold_in(key, 100 + i)))
 
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = encode(params, frames, jax.random.fold_in(key, i))
-    np.asarray(out)  # sync: device stream is sequential
-    dt = time.perf_counter() - t0
-    fps = batch * reps / dt
+    # Median of >=5 timed trials; device stream is sequential, so one
+    # readback at the end of each trial syncs the whole trial.
+    trial_fps = []
+    for t in range(5):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = encode(params, frames, jax.random.fold_in(key, t * reps + i))
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        trial_fps.append(batch * reps / dt)
+    fps = float(np.median(trial_fps))
+    spread = (max(trial_fps) - min(trial_fps)) / fps
+
+    # FLOP count for MFU: XLA's own cost analysis of the compiled encode.
+    flops_per_call = None
+    try:
+        cost = (jax.jit(encode).lower(params, frames, key)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     baseline = None
     try:
@@ -72,7 +92,13 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "trial_spread": round(spread, 3),
     }
+    if flops_per_call:
+        tflops = flops_per_call * fps / batch / 1e12
+        result["tflops"] = round(tflops, 1)
+        # v5e bf16 peak: 197 TFLOP/s (TPU v5e datasheet).
+        result["mfu"] = round(tflops / 197.0, 3)
     print(json.dumps(result))
 
 
