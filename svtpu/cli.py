@@ -129,8 +129,10 @@ def cmd_train(args):
         contrast_on=args.contrast_on,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
-        select_by=("val_loss" if args.variant == "triplet"
-                   else "consistency"),
+        select_by=(args.select_by or
+                   ("val_loss" if args.variant == "triplet"
+                    else "consistency")),
+        sep_target=args.sep_target,
         log_dir=args.log_dir, seed=args.seed)
     trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
     if args.variant == "simple":
@@ -361,6 +363,13 @@ def main(argv=None):
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)
     sp.add_argument("--contrast-on", default="h", choices=["h", "z"])
+    sp.add_argument("--select-by", default=None,
+                    choices=["consistency", "val_loss", "separation",
+                             "combined"],
+                    help="model-selection metric (default: consistency, "
+                         "or val_loss for triplet)")
+    sp.add_argument("--sep-target", type=float, default=3.0,
+                    help="separation (bits) saturating the combined score")
     sp.add_argument("--test-pct", type=float, default=0.1)
     sp.add_argument("--val-pct", type=float, default=0.1)
     sp.add_argument("--dtype", default="bfloat16")
@@ -374,7 +383,8 @@ def main(argv=None):
     sp = sub.add_parser("sweep", help="hyperparameter sweep")
     _add_video_args(sp)
     sp.add_argument("--variant", default="contrastive",
-                    choices=["contrastive", "percep", "triplet"])
+                    choices=["contrastive", "percep", "triplet",
+                             "contrastive_z"])
     sp.add_argument("--frames-dir")
     sp.add_argument("--embeddings")
     sp.add_argument("--resolution", type=int, default=256)

@@ -233,9 +233,17 @@ class TrainConfig:
     # and counteracts the all-states-one-code collapse; DESIGN.md §8).
     contrast_on: str = "h"
     # Model selection: "consistency" (contrastive/percep,
-    # ``contrastive_RBVAE_train.py:662-673``) or "val_loss" (triplet,
-    # ``triplet_RBVAE_train.py:597-608``).
+    # ``contrastive_RBVAE_train.py:662-673``), "val_loss" (triplet,
+    # ``triplet_RBVAE_train.py:597-608``), or the svtpu additions
+    # "separation" (maximize deterministic adjacent-state Hamming) and
+    # "combined" (consistency x min(separation/sep_target, 1) — rewards
+    # checkpoints that are BOTH consistent within states and separated
+    # between them; the reference metric alone is blind to all-states-
+    # one-code collapse, DESIGN.md §8).
     select_by: str = "consistency"
+    # Separation (bits) at which "combined" stops rewarding more
+    # separation and becomes pure consistency.
+    sep_target: float = 3.0
     log_dir: Optional[str] = None
     # Mesh axes for data parallelism; batch is sharded over "data".
     mesh_shape: Tuple[int, ...] = (-1,)

@@ -33,7 +33,10 @@ def train_with_config(config: Dict, variant: str, store,
     splits = split_segments(video_meta.state_segments())
     input_hw = tuple(store.item_shape[:2])
     in_ch = store.item_shape[2]
-    mcfg = rbvae_variant(variant, latent_dim=int(config["latent_dim"]),
+    # Sweep names may be space variants of a model family (e.g.
+    # "contrastive_z" sweeps the contrastive model with contrast_on="z").
+    model_variant = {"contrastive_z": "contrastive"}.get(variant, variant)
+    mcfg = rbvae_variant(model_variant, latent_dim=int(config["latent_dim"]),
                          input_hw=input_hw, in_channels=in_ch,
                          out_channels=in_ch, compute_dtype=compute_dtype)
     # num_steps_to_update derives from total steps / num_temp_updates
@@ -59,6 +62,8 @@ def train_with_config(config: Dict, variant: str, store,
         beta_kl=float(config["beta_kl"]),
         objective=str(config["objective"]),
         select_by=str(config["select_by"]),
+        contrast_on=str(config.get("contrast_on", "h")),
+        sep_target=float(config.get("sep_target", 3.0)),
     )
     trainer = Trainer(mcfg, tcfg, store, splits, video_meta.flags)
     save_path = (str(Path(save_dir) / f"best_model_{run_name}")
@@ -68,13 +73,15 @@ def train_with_config(config: Dict, variant: str, store,
                      for v in hist["val_losses"]), default=0.0)
     best_val = min((v.get("total_loss", np.inf)
                     for v in hist["val_losses"]), default=np.inf)
+    best_comb = max((v.get("combined_score", 0.0)
+                     for v in hist["val_losses"]), default=0.0)
+    summary = {"best_consistency_score": float(best_cons),
+               "best_val_loss": float(best_val),
+               "best_combined_score": float(best_comb)}
     if save_path:
         (Path(save_path).parent / f"{run_name}_config.json").write_text(
-            json.dumps({"config": config, "best_consistency_score":
-                        best_cons, "best_val_loss": best_val}, indent=2))
-    return {"best_consistency_score": float(best_cons),
-            "best_val_loss": float(best_val), "history": hist,
-            "save_path": save_path}
+            json.dumps({"config": config, **summary}, indent=2))
+    return {**summary, "history": hist, "save_path": save_path}
 
 
 def run_sweep(variant: str, store, video_meta: VideoMeta,

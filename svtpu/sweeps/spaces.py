@@ -59,12 +59,27 @@ TRIPLET_SPACE: Space = {
     "select_by": ("const", "val_loss"),
 }
 
+# svtpu addition (no reference counterpart): sweep the ``contrast_on="z"``
+# formulation and select by the combined consistency x separation score, so
+# the search cannot converge to the all-states-one-code collapse the
+# reference metric rewards (DESIGN.md §8). Ranges centered on the round-1
+# hand-tuned point (margin 2, alpha 4, beta_kl 0.2 → 3.5-bit separation).
+CONTRASTIVE_Z_SPACE: Space = dict(
+    CONTRASTIVE_SPACE,
+    margin=("uniform", 0.5, 4.0),
+    alpha=("uniform", 1.0, 8.0),
+    beta_kl=("log_uniform", 0.02, 1.0),
+    contrast_on=("const", "z"),
+    select_by=("const", "combined"),
+)
+
 SPACES = {"contrastive": CONTRASTIVE_SPACE, "percep": PERCEP_SPACE,
-          "triplet": TRIPLET_SPACE}
+          "triplet": TRIPLET_SPACE, "contrastive_z": CONTRASTIVE_Z_SPACE}
 
 METRIC = {"contrastive": ("best_consistency_score", "maximize"),
           "percep": ("best_consistency_score", "maximize"),
-          "triplet": ("best_val_loss", "minimize")}
+          "triplet": ("best_val_loss", "minimize"),
+          "contrastive_z": ("best_combined_score", "maximize")}
 
 
 def sample(space: Space, rng: np.random.Generator) -> Dict[str, Any]:

@@ -426,14 +426,13 @@ class Trainer:
         val_step = self._compiled_val or self._make_val_step()
         self._compiled_train, self._compiled_val = train_step, val_step
 
+        maximize = cfg.select_by != "val_loss"
         ckpt = BestCheckpointer(
-            save_path, mode="max" if cfg.select_by == "consistency"
-            else "min") if save_path else None
+            save_path, mode="max" if maximize else "min") if save_path else None
         base_key = jax.random.key(self.seed + 1)
 
         history = {"train_losses": [], "val_losses": [], "best_epoch": 0,
-                   "best_metric": (-np.inf if cfg.select_by == "consistency"
-                                   else np.inf)}
+                   "best_metric": -np.inf if maximize else np.inf}
         start_epoch = 0
         if resume and ckpt and ckpt.exists("latest"):
             tree, meta = ckpt.restore(
@@ -497,19 +496,22 @@ class Trainer:
             score, per_state = self.state_consistency(
                 state.params, cfg.final_temperature, seed=epoch)
             val_losses["consistency_score"] = float(score)
-            val_losses["state_separation"] = self.state_separation(
-                state.params, cfg.final_temperature)
+            sep = self.state_separation(state.params, cfg.final_temperature)
+            val_losses["state_separation"] = sep
+            val_losses["combined_score"] = float(score) * min(
+                sep / cfg.sep_target, 1.0)
             for i, p in enumerate(per_state):
                 val_losses[f"state_{i}_consistency"] = float(p)
 
             self.writer.scalars("Epoch/Train", train_losses, epoch)
             self.writer.scalars("Epoch/Val", val_losses, epoch)
 
-            metric = (val_losses["consistency_score"]
-                      if cfg.select_by == "consistency"
-                      else val_losses["total_loss"])
-            better = (metric > history["best_metric"]
-                      if cfg.select_by == "consistency"
+            metric = val_losses[{
+                "consistency": "consistency_score",
+                "separation": "state_separation",
+                "combined": "combined_score",
+                "val_loss": "total_loss"}[cfg.select_by]]
+            better = (metric > history["best_metric"] if maximize
                       else metric < history["best_metric"])
             if better:
                 history["best_metric"] = metric

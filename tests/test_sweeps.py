@@ -28,6 +28,19 @@ def test_triplet_space_differences():
     assert METRIC["triplet"] == ("best_val_loss", "minimize")
 
 
+def test_contrastive_z_space():
+    from svtpu.sweeps.spaces import CONTRASTIVE_Z_SPACE
+
+    rng = np.random.default_rng(2)
+    c = sample(CONTRASTIVE_Z_SPACE, rng)
+    assert c["contrast_on"] == "z"
+    assert c["select_by"] == "combined"
+    assert 0.5 <= c["margin"] <= 4.0
+    assert 0.02 <= c["beta_kl"] <= 1.0
+    assert METRIC["contrastive_z"] == ("best_combined_score", "maximize")
+    assert "contrastive_z" in SPACES
+
+
 def test_wandb_config_shape():
     cfg = to_wandb_config(CONTRASTIVE_SPACE, METRIC["contrastive"])
     assert cfg["method"] == "bayes"
@@ -75,3 +88,39 @@ def test_local_sweep_end_to_end(tmp_path):
     assert res["metric"] == "best_consistency_score"
     assert len(res["trials"]) == 1
     assert (tmp_path / "sweep_results.json").exists()
+
+
+def test_local_sweep_contrastive_z(tmp_path):
+    """contrastive_z space maps to the contrastive model, trains with
+    contrast_on='z', and optimizes the combined score."""
+    from svtpu.config import VideoMeta
+    from svtpu.sweeps import runner
+
+    class ArrayStore:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.array = rng.integers(0, 255, (48, 16, 16, 3),
+                                      dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("t", flags=(16, 32), last_frame=47, grey_out=0)
+    tiny = dict(runner.SPACES["contrastive_z"])
+    tiny.update({"latent_dim": ("const", 6), "batch_size": ("const", 4),
+                 "num_epochs": ("const", 1)})
+    runner.SPACES = dict(runner.SPACES, contrastive_z=tiny)
+    try:
+        res = runner.run_sweep("contrastive_z", ArrayStore(), meta, count=1,
+                               seed=0, save_dir=str(tmp_path),
+                               use_wandb=False)
+    finally:
+        runner.SPACES = SPACES
+    assert res["metric"] == "best_combined_score"
+    t = res["trials"][0]
+    assert t["config"]["contrast_on"] == "z"
+    assert np.isfinite(t["best_combined_score"])
