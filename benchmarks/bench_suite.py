@@ -64,6 +64,78 @@ def bench_rbvae_encode():
                           "frames_per_sec": round(batch / dt, 1)}))
 
 
+def bench_sampler_ab():
+    """A/B: XLA vs fused-Pallas Binary-Concrete sampler on the full encode
+    path (VERDICT r1 item 4), plus the sampler op in isolation at a large
+    shape (where the grid/blocking matters)."""
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.binarize import binary_concrete
+    from svtpu.ops.binarize_pallas import binary_concrete_pallas
+    from svtpu.ops.image import to_float01
+
+    rng = np.random.default_rng(0)
+    batch = 512
+    frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                      dtype=np.uint8))
+    results = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50,
+                            compute_dtype="bfloat16", pallas_sampler=flag)
+        model = Seq2SeqBinaryVAE(cfg)
+        x0 = jnp.zeros((1, 1, 256, 256, 3), jnp.float32)
+        params = model.init({"params": jax.random.key(0)}, x0, 1.0, False,
+                            deterministic=True)
+
+        @jax.jit
+        def enc(p, f, k):
+            return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                               method=Seq2SeqBinaryVAE.encode,
+                               deterministic=False,
+                               bc_rng=k).astype(jnp.uint8)
+
+        for i in range(8):
+            np.asarray(enc(params, frames, jax.random.key(i)))
+        trials = []
+        for t in range(5):
+            t0 = time.perf_counter()
+            for i in range(16):
+                out = enc(params, frames, jax.random.key(100 + t * 16 + i))
+            np.asarray(out)
+            trials.append(batch * 16 / (time.perf_counter() - t0))
+        results[name] = float(np.median(trials))
+    print(json.dumps({"bench": "sampler_ab_encode_path", "batch": batch,
+                      "xla_fps": round(results["xla"], 1),
+                      "pallas_fps": round(results["pallas"], 1),
+                      "pallas_speedup": round(
+                          results["pallas"] / results["xla"], 3)}))
+
+    # Op in isolation at a shape far beyond one VMEM block: [2^20, 64].
+    big = jnp.asarray(rng.normal(size=(1 << 20, 64)), jnp.float32)
+    xla_op = jax.jit(lambda x, k: binary_concrete(
+        x, k, 0.2, True, noise_scale=0.1))
+    pl_op = jax.jit(lambda x, s: binary_concrete_pallas(
+        x, s, 0.2, 0.1, hard=True))
+    op_res = {}
+    for name, fn, arg in (("xla", xla_op, jax.random.key(0)),
+                          ("pallas", pl_op, jnp.int32(7))):
+        for i in range(8):
+            np.asarray(fn(big, arg)[0, :1])
+        trials = []
+        for t in range(5):
+            t0 = time.perf_counter()
+            for i in range(8):
+                out = fn(big, arg)
+            np.asarray(out[0, :1])
+            trials.append(8 * big.size / (time.perf_counter() - t0))
+        op_res[name] = float(np.median(trials))
+    print(json.dumps({"bench": "sampler_ab_op_64M",
+                      "xla_gelem_s": round(op_res["xla"] / 1e9, 2),
+                      "pallas_gelem_s": round(op_res["pallas"] / 1e9, 2),
+                      "pallas_speedup": round(
+                          op_res["pallas"] / op_res["xla"], 3)}))
+
+
 def bench_rbvae_train_step():
     from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
     from svtpu.data.segments import split_segments
@@ -151,6 +223,59 @@ def bench_flash_attention():
                       "ms": round(dt * 1e3, 2)}))
 
 
+def bench_attention_backward():
+    """Cost of training THROUGH the perceptual AE's mid-block attention:
+    the forward is the Pallas flash kernel, the backward a query-chunked
+    XLA recompute (ops/attention.py). Decides whether a Pallas backward
+    is warranted (VERDICT r1 item 8)."""
+    from svtpu.ops.attention import attention
+
+    rng = np.random.default_rng(0)
+    B, N, D = 1, 14080, 512
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16)
+               for _ in range(3))
+
+    # Random cotangent via vjp — a constant cotangent (grad of sum) lets
+    # XLA collapse the dp/dv matmuls into reductions and fakes >peak TFLOPS.
+    # Outputs are reduced to a scalar INSIDE the jit so the readback is a
+    # genuine full-dependency sync (tiny-slice readbacks through the relay
+    # under-measure).
+    g = jnp.asarray(rng.normal(size=(B, N, D)), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(q, k, v):
+        return attention(q, k, v).astype(jnp.float32).sum()
+
+    @jax.jit
+    def grad(q, k, v):
+        _, pull = jax.vjp(attention, q, k, v)
+        dq, dk, dv = pull(g)
+        return sum(t.astype(jnp.float32).sum() for t in (dq, dk, dv))
+
+    def med(fn, n=5, reps=4):
+        for _ in range(8):
+            float(fn(q, k, v))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(q, k, v)
+            float(out)
+            ts.append((time.perf_counter() - t0) / reps)
+        return float(np.median(ts))
+
+    t_fwd, t_full = med(fwd), med(grad)
+    t_bwd = t_full - t_fwd
+    print(json.dumps({
+        "bench": "attention_fwd_bwd_midblock", "tokens": N, "dim": D,
+        "fwd_ms": round(t_fwd * 1e3, 2),
+        "fwd_bwd_ms": round(t_full * 1e3, 2),
+        "bwd_ms": round(t_bwd * 1e3, 2),
+        "fwd_tflops": round(4 * N * N * D / t_fwd / 1e12, 1),
+        "bwd_tflops": round(10 * N * N * D / max(t_bwd, 1e-9) / 1e12, 1),
+        "bwd_over_fwd": round(t_bwd / t_fwd, 2)}))
+
+
 def bench_data_plane(tmpdir="/tmp/svtpu_bench_frames"):
     import os
     from pathlib import Path
@@ -191,9 +316,11 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     benches = {
         "rbvae_encode": bench_rbvae_encode,
+        "sampler_ab": bench_sampler_ab,
         "train_step": bench_rbvae_train_step,
         "sd_encoder": bench_sd_encoder,
         "attention": bench_flash_attention,
+        "attention_bwd": bench_attention_backward,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():

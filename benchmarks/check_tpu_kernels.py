@@ -52,18 +52,43 @@ def main():
     results.append(check("bc_pallas_monotonic", yb.mean() > 0.95,
                          p_one=float(yb.mean())))
 
-    # --- flash attention exactness (full mid-block shape for the kernel,
-    # a 2048-token slice for the XLA reference to keep compiles short)
+    # --- encode-path parity: pallas_sampler flag vs the XLA op. In
+    # deterministic mode both reduce to sigmoid(h/temp) > 0.5, so the hard
+    # codes must match bit-for-bit.
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+
+    x = jnp.asarray(np.random.default_rng(1).random((16, 1, 64, 64, 3),
+                                                    dtype=np.float32))
+    codes = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50, input_hw=(64, 64),
+                            compute_dtype="bfloat16", pallas_sampler=flag)
+        model = Seq2SeqBinaryVAE(cfg)
+        params = model.init({"params": jax.random.key(0)},
+                            x[:1], 1.0, False, deterministic=True)
+        codes[name] = np.asarray(jax.jit(
+            lambda p, xx: model.apply(p, xx, 0.2, True,
+                                      method=Seq2SeqBinaryVAE.encode,
+                                      deterministic=True))(params, x))
+    results.append(check("encode_pallas_flag_bitmatch",
+                         np.array_equal(codes["xla"], codes["pallas"])))
+
+    # --- flash attention exactness at BOTH a small shape and the full
+    # production mid-block shape (14,080 tokens — different Pallas block
+    # selection than 2,048; VERDICT r1 item 8), vs the chunked XLA
+    # reference.
     from svtpu.ops.attention import blocked_attention, flash_attention
 
     rng = np.random.default_rng(0)
-    q, k, v = (jnp.asarray(rng.normal(size=(1, 2048, 512)), jnp.float32)
-               for _ in range(3))
-    got = np.asarray(jax.jit(flash_attention)(q, k, v))
-    ref = np.asarray(jax.jit(blocked_attention)(q, k, v))
-    err = float(np.max(np.abs(got - ref)))
-    results.append(check("flash_attention_exactness", err < 1e-3,
-                         max_abs_err=err))
+    for N in (2048, 14080):
+        q, k, v = (jnp.asarray(rng.normal(size=(1, N, 512)), jnp.float32)
+                   for _ in range(3))
+        got = np.asarray(jax.jit(flash_attention)(q, k, v))
+        ref = np.asarray(jax.jit(blocked_attention)(q, k, v))
+        err = float(np.max(np.abs(got - ref)))
+        results.append(check(f"flash_attention_exactness_{N}", err < 1e-3,
+                             max_abs_err=err))
 
     if not all(results):
         sys.exit(1)

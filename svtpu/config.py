@@ -158,6 +158,11 @@ class RBVAEConfig:
     # trades ~30% more FLOPs for O(batch) less activation HBM — lets the
     # 256x256 trunk train at much larger per-chip batch.
     remat: bool = False
+    # Use the fused Pallas Binary-Concrete sampler (on-chip PRNG) on the
+    # inference ``encode`` path instead of the XLA op. Training always uses
+    # the XLA op (it needs the soft VJP). A/B'd in benchmarks/bench_suite.py;
+    # see DESIGN.md §4 for the measured delta.
+    pallas_sampler: bool = False
 
     @property
     def encoded_hw(self) -> Tuple[int, int]:

@@ -119,9 +119,26 @@ class Seq2SeqBinaryVAE(nn.Module):
                                 name="decoder_rnn")
 
     def _encode_to_latent(self, x, temperature, hard, noise_scale, key,
-                          deterministic):
-        """Shared front half: conv trunk + encoder LSTM + binarization."""
+                          deterministic, sampler: str = "xla"):
+        """Shared front half: conv trunk + encoder LSTM + binarization.
+
+        ``sampler``: "xla" (default; differentiable) or "pallas" (fused
+        on-chip-PRNG kernel, inference only — no VJP).
+        """
         c = self.cfg
+
+        def binarize(logits_or_h):
+            if sampler == "pallas":
+                from svtpu.ops.binarize_pallas import binary_concrete_pallas
+                noisy = key is not None
+                seed = (jax.random.randint(key, (), 0, 2**31 - 1)
+                        if noisy else 0)
+                return binary_concrete_pallas(
+                    logits_or_h, seed, temperature, noise_scale, hard=hard,
+                    eps=c.bc_eps, noisy=noisy)
+            return binary_concrete(logits_or_h, key, temperature, hard,
+                                   eps=c.bc_eps, noise_scale=noise_scale)
+
         B, T = x.shape[:2]
         flat = x.reshape((B * T,) + x.shape[2:])
         logits = self.encoder_cnn(flat, deterministic)
@@ -129,13 +146,11 @@ class Seq2SeqBinaryVAE(nn.Module):
 
         if c.binarize == "pre_rnn":
             # simple variant: binarize conv logits, then run the LSTMs.
-            z_seq = binary_concrete(logits, key, temperature, hard,
-                                    eps=c.bc_eps, noise_scale=noise_scale)
+            z_seq = binarize(logits)
             h_seq = self.encoder_rnn(z_seq)
             return logits, h_seq, z_seq
         h_seq = self.encoder_rnn(logits)
-        z_seq = binary_concrete(h_seq, key, temperature, hard,
-                                eps=c.bc_eps, noise_scale=noise_scale)
+        z_seq = binarize(h_seq)
         return logits, h_seq, z_seq
 
     def __call__(self, x: jax.Array, temperature=1.0, hard: bool = False,
@@ -186,5 +201,6 @@ class Seq2SeqBinaryVAE(nn.Module):
         if bc_rng is None and not deterministic:
             bc_rng = self.make_rng("binary")
         _, _, z_seq = self._encode_to_latent(
-            x, temperature, hard, noise_scale, bc_rng, True)
+            x, temperature, hard, noise_scale, bc_rng, True,
+            sampler="pallas" if c.pallas_sampler else "xla")
         return z_seq

@@ -3,9 +3,14 @@
 The XLA path (``svtpu.ops.binarize``) emits a separate RNG kernel plus an
 elementwise chain; this kernel fuses uniform-bit generation (on-chip PRNG),
 logistic-noise construction, temperature sigmoid, and straight-through
-thresholding into one VMEM-resident pass — used on the high-throughput
-inference encode path. Training keeps the XLA op (it needs the soft VJP and
-jax.random key semantics).
+thresholding into one VMEM-resident pass over a row-blocked grid.
+
+Available on the inference encode path via ``RBVAEConfig.pallas_sampler``
+but OFF by default: the measured A/B (``bench_suite.py sampler_ab``, v5e)
+has the XLA op ahead (1.02x on the full encode path, 1.42x on the op in
+isolation at [2^20, 64]) — XLA's fused threefry + elementwise chain wins
+for this memory-bound op. Training always uses the XLA op (it needs the
+soft VJP and jax.random key semantics).
 """
 from __future__ import annotations
 
@@ -21,7 +26,8 @@ def _kernel(seed_ref, temp_ref, scale_ref, logits_ref, out_ref,
             *, hard: bool, eps: float, noisy: bool):
     x = logits_ref[:].astype(jnp.float32)
     if noisy:
-        pltpu.prng_seed(seed_ref[0])
+        # Decorrelate grid blocks: each program seeds its own stream.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
         # uint32 → uniform [0, 1): keep the 24 high bits (exact in f32).
         # Mosaic has no uint32→f32 cast; the top-8-bits-clear value is
@@ -49,16 +55,26 @@ def binary_concrete_pallas(logits: jax.Array, seed,
     """
     shape = logits.shape
     flat = logits.reshape(-1, shape[-1])
+    n, L = flat.shape
     kernel = functools.partial(_kernel, hard=hard, eps=eps, noisy=noisy)
+    # Grid over rows so arbitrarily large batches never exceed one VMEM
+    # block. Budget ~2 MB per buffer counting lane padding (last dim pads
+    # to 128); in+out double-buffered ≈ 8 MB, under the 16 MB scoped limit.
+    padded_l = -(-L // 128) * 128
+    block_rows = min(n, max(8, (2 << 20) // (4 * padded_l)))
+    grid = -(-n // block_rows)
     out = pl.pallas_call(
         kernel,
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_rows, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(flat.shape, logits.dtype),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32),
