@@ -60,9 +60,43 @@ def throughput(model, batch, n_frames=64):
     return done / dt
 
 
+REFERENCE_SD = "/root/reference/src/stable-diffusion"
+
+
+def genuine_sd_encoder():
+    """The ACTUAL vendored reference encoder
+    (ldm/modules/diffusionmodules/model.py:368-459) + the AutoencoderKL
+    quant conv (ldm/models/autoencoder.py:296, encode wiring :324-328),
+    random weights, v1-inference.yaml config (ch 128, mult 1/2/4/4,
+    2 res blocks, no attn resolutions, double_z). Returns None when the
+    reference tree is absent (fall back to SDEncoderEquivalent)."""
+    import sys
+    if REFERENCE_SD not in sys.path:
+        sys.path.insert(0, REFERENCE_SD)
+    try:
+        from ldm.modules.diffusionmodules.model import Encoder
+    except ImportError:
+        return None
+    enc = Encoder(ch=128, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+                  attn_resolutions=[], dropout=0.0, in_channels=3,
+                  resolution=256, z_channels=4, double_z=True).eval()
+    quant = nn.Conv2d(8, 8, 1).eval()
+
+    class Composed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc, self.quant = enc, quant
+
+        def forward(self, x):
+            return self.quant(self.enc(x))
+
+    return Composed().eval()
+
+
 class SDEncoderEquivalent(nn.Module):
-    """Torch model with the reference AutoencoderKL encoder's compute
-    profile (ldm/modules/diffusionmodules/model.py:368-459 via
+    """Fallback when /root/reference is absent: torch model with the
+    reference AutoencoderKL encoder's compute profile
+    (ldm/modules/diffusionmodules/model.py:368-459 via
     v1-inference.yaml: ch 128, mult 1/2/4/4, 2 resblocks, single-head
     mid attention over the 88x160 bottleneck): conv stacks per level plus
     the quadratic attention, which dominate the reference's per-frame cost."""
@@ -96,12 +130,15 @@ class SDEncoderEquivalent(nn.Module):
 
 def sd_encoder_seconds_per_frame():
     torch.manual_seed(0)
-    m = SDEncoderEquivalent().eval()
+    m = genuine_sd_encoder()
+    genuine = m is not None
+    if not genuine:
+        m = SDEncoderEquivalent().eval()
     x = torch.rand(1, 3, 704, 1280)
     with torch.no_grad():
         t0 = time.perf_counter()
         m(x)
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, genuine
 
 
 def main():
@@ -109,7 +146,7 @@ def main():
     model = Encoder().eval()
     fps1 = throughput(model, 1, 32)
     fps32 = throughput(model, 32, 64)
-    sd_spf = sd_encoder_seconds_per_frame()
+    sd_spf, sd_genuine = sd_encoder_seconds_per_frame()
     out = {
         "description": "reference-equivalent torch encode throughput "
                        "(contrastive RBVAE, 256x256, latent 50)",
@@ -122,6 +159,10 @@ def main():
                     "(frame-at-a-time [1,1,C,H,W]); batch32 = batched",
         "sd_encoder_sec_per_frame": round(sd_spf, 3),
         "sd_encoder_frames_per_sec": round(1.0 / sd_spf, 3),
+        "sd_encoder_module": ("measured on the actual reference module "
+                              "(ldm/modules/diffusionmodules/model.py "
+                              "Encoder, random weights)" if sd_genuine
+                              else "SDEncoderEquivalent fallback"),
     }
     with open("BENCH_BASELINE.json", "w") as f:
         json.dump(out, f, indent=2)

@@ -253,6 +253,16 @@ class TrainConfig:
     # Mesh axes for data parallelism; batch is sharded over "data".
     mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Multi-chip batch/LR policy. svtpu's batch_size is the GLOBAL batch
+    # (sharded over the data axis), so unlike the reference's dormant DDP
+    # harness (``main.py:686-690``: lr = accumulate x ngpu x bs x base_lr,
+    # where the per-GPU batch is fixed and the global batch grows with
+    # ngpu) the learning rate needs no device-count factor. The one place
+    # the effective batch can change implicitly is the round-up to a
+    # data-axis multiple; "linear" rescales lr by new_batch/requested_batch
+    # there (the same linear convention, applied to what actually changed),
+    # "none" keeps base_lr untouched.
+    lr_scaling: str = "linear"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -180,9 +180,16 @@ class Trainer:
         # multiple so sweeps/configs never hit divisibility errors.
         ndata = int(self.mesh.devices.shape[0])
         if train_cfg.batch_size % ndata:
+            new_bs = -(-train_cfg.batch_size // ndata) * ndata
+            # Linear LR/batch scaling (TrainConfig.lr_scaling): when the
+            # global batch grows to fit the data axis, scale lr with it —
+            # the reference's dormant-DDP convention (``main.py:686-690``)
+            # applied to the quantity that actually changed here.
+            new_lr = (train_cfg.learning_rate * new_bs / train_cfg.batch_size
+                      if train_cfg.lr_scaling == "linear"
+                      else train_cfg.learning_rate)
             train_cfg = dataclasses.replace(
-                train_cfg, batch_size=-(-train_cfg.batch_size // ndata)
-                * ndata)
+                train_cfg, batch_size=new_bs, learning_rate=new_lr)
             self.cfg = train_cfg
         self.model = Seq2SeqBinaryVAE(model_cfg)
         self.tx = optax.adam(train_cfg.learning_rate)

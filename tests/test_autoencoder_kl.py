@@ -2,7 +2,11 @@
 written torch twin of the SD first-stage architecture (GroupNorm eps,
 asymmetric downsample padding, single-head attention scaling — the exact
 pitfalls SURVEY.md §7 flags). Uses a tiny config so it runs fast on CPU;
-the architecture generator is identical to the full-size one."""
+the architecture generator is identical to the full-size one.
+
+Authoritative parity now lives in test_reference_parity.py, which imports
+the GENUINE vendored reference modules; this twin remains as a fast
+self-contained cross-check plus the attention-kernel unit tests."""
 import numpy as np
 import pytest
 import torch

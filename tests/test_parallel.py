@@ -109,3 +109,29 @@ def test_sharding_rules_fallback_when_indivisible():
     sh = params_shardings(params, mesh, RBVAE_TP_RULES)
     # 12 % 8 != 0 → replicate instead of erroring.
     assert sh["encoder_cnn"]["fc"]["kernel"].spec == P()
+
+
+def test_batch_roundup_scales_lr_linearly():
+    """Implicit global-batch growth (round-up to the data axis) rescales
+    the LR under the linear policy (reference DDP convention,
+    ``main.py:686-690``, applied to the quantity that changes here) and
+    leaves it untouched under lr_scaling="none"."""
+    mesh8 = make_mesh((8,), ("data",))
+    meta = VideoMeta("p", flags=(16, 32), last_frame=47, grey_out=0)
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+
+    tcfg = TrainConfig(batch_size=6, learning_rate=1e-3)
+    tr = Trainer(mcfg, tcfg, ArrayStore(), splits, meta.flags, mesh=mesh8)
+    assert tr.cfg.batch_size == 8
+    np.testing.assert_allclose(tr.cfg.learning_rate, 1e-3 * 8 / 6)
+
+    tcfg = TrainConfig(batch_size=6, learning_rate=1e-3, lr_scaling="none")
+    tr = Trainer(mcfg, tcfg, ArrayStore(), splits, meta.flags, mesh=mesh8)
+    assert tr.cfg.batch_size == 8
+    assert tr.cfg.learning_rate == 1e-3
+
+    # No round-up → no rescale either way.
+    tcfg = TrainConfig(batch_size=16, learning_rate=1e-3)
+    tr = Trainer(mcfg, tcfg, ArrayStore(), splits, meta.flags, mesh=mesh8)
+    assert tr.cfg.learning_rate == 1e-3

@@ -1,0 +1,182 @@
+"""Parity vs the GENUINE vendored reference code (not a hand-written twin).
+
+Imports the actual ``ldm/modules/diffusionmodules/model.py:368-568``
+Encoder/Decoder and ``ldm/modules/distributions/distributions.py:24-62``
+from ``/root/reference/src/stable-diffusion`` (they depend only on torch +
+numpy; the ``AutoencoderKL`` *class* needs pytorch-lightning, so its two
+1x1 quant convs — ``ldm/models/autoencoder.py:296-297`` — are composed
+manually here, exactly as ``encode``/``decode`` wire them at
+``autoencoder.py:324-333``).
+
+This supersedes the twin-based parity in test_autoencoder_kl.py for the
+question "does svtpu match the reference?": a twin can share its author's
+misreading; this file cannot.
+
+Full-size [1, 3, 704, 1280] parity (the production shape) is gated behind
+``SVTPU_FULLSIZE=1`` because the genuine torch encoder alone takes ~45 s
+per frame on this host's CPU; measured bounds are recorded in RESULTS.md.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from svtpu.config import PerceptualConfig
+from svtpu.models.autoencoder_kl import AutoencoderKL, DiagonalGaussian
+from svtpu.perceptual.convert import convert_autoencoder_kl
+
+REF = "/root/reference/src/stable-diffusion"
+if not os.path.isdir(REF):
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+try:
+    from ldm.modules.diffusionmodules.model import (Decoder as RefDecoder,
+                                                    Encoder as RefEncoder)
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution as RefDiagonalGaussian)
+except ImportError as e:  # pragma: no cover
+    pytest.skip(f"reference modules not importable: {e}",
+                allow_module_level=True)
+
+TINY = PerceptualConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2),
+                        num_res_blocks=1, compute_dtype="float32")
+FULL = PerceptualConfig(compute_dtype="float32")
+
+
+def _real_autoencoder(cfg: PerceptualConfig, seed: int = 0):
+    """Genuine reference Encoder/Decoder + the AutoencoderKL quant convs
+    (``ldm/models/autoencoder.py:288-297``), random weights, eval mode."""
+    torch.manual_seed(seed)
+    ddconfig = dict(ch=cfg.ch, out_ch=cfg.out_ch, ch_mult=cfg.ch_mult,
+                    num_res_blocks=cfg.num_res_blocks, attn_resolutions=[],
+                    dropout=0.0, in_channels=cfg.in_channels, resolution=256,
+                    z_channels=cfg.z_channels, double_z=True)
+    enc = RefEncoder(**ddconfig).eval()
+    dec = RefDecoder(**ddconfig).eval()
+    quant = torch.nn.Conv2d(2 * cfg.z_channels, 2 * cfg.embed_dim, 1).eval()
+    post_quant = torch.nn.Conv2d(cfg.embed_dim, cfg.z_channels, 1).eval()
+    sd = {}
+    for name, mod in (("encoder", enc), ("decoder", dec),
+                      ("quant_conv", quant), ("post_quant_conv", post_quant)):
+        for k, v in mod.state_dict().items():
+            sd[f"{name}.{k}"] = v.detach().numpy()
+    return enc, dec, quant, post_quant, sd
+
+
+@pytest.fixture(scope="module")
+def real_tiny():
+    return _real_autoencoder(TINY)
+
+
+def test_encode_parity_vs_reference(real_tiny):
+    enc, _, quant, _, sd = real_tiny
+    x = torch.from_numpy(
+        np.random.default_rng(0).uniform(-1, 1, (2, 3, 32, 32))
+        .astype(np.float32))
+    with torch.no_grad():
+        expected = quant(enc(x)).numpy()
+    params = convert_autoencoder_kl(sd, TINY, prefix="")
+    got = AutoencoderKL(TINY).apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        method=AutoencoderKL.encode)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == expected.shape == (2, 8, 16, 16)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_decode_parity_vs_reference(real_tiny):
+    _, dec, _, post_quant, sd = real_tiny
+    z = torch.from_numpy(
+        np.random.default_rng(1).normal(size=(2, 4, 8, 8))
+        .astype(np.float32))
+    with torch.no_grad():
+        expected = dec(post_quant(z)).numpy()
+    params = convert_autoencoder_kl(sd, TINY, prefix="")
+    got = AutoencoderKL(TINY).apply(
+        params, jnp.asarray(z.numpy().transpose(0, 2, 3, 1)),
+        method=AutoencoderKL.decode)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == expected.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_encode_parity_bf16(real_tiny):
+    """bf16 compute path vs the f32 reference: loose elementwise bound in
+    units of the output's std (the deliverable of weak #8 — bf16
+    GroupNorm/attention numerics at non-trivial activation scales)."""
+    enc, _, quant, _, sd = real_tiny
+    x = torch.from_numpy(
+        np.random.default_rng(2).uniform(-1, 1, (2, 3, 32, 32))
+        .astype(np.float32))
+    with torch.no_grad():
+        expected = quant(enc(x)).numpy()
+    cfg = PerceptualConfig(embed_dim=4, z_channels=4, ch=32, ch_mult=(1, 2),
+                           num_res_blocks=1, compute_dtype="bfloat16")
+    params = convert_autoencoder_kl(sd, cfg, prefix="")
+    got = AutoencoderKL(cfg).apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        method=AutoencoderKL.encode)
+    got = np.asarray(got, np.float32).transpose(0, 3, 1, 2)
+    scale = max(float(np.std(expected)), 1e-6)
+    rel = np.abs(got - expected) / scale
+    assert float(rel.max()) < 0.1, f"bf16 max rel-to-std err {rel.max():.4f}"
+
+
+def test_diagonal_gaussian_vs_reference():
+    moments = np.random.default_rng(3).normal(
+        size=(2, 8, 4, 4)).astype(np.float32) * 3.0
+    ref = RefDiagonalGaussian(torch.from_numpy(moments))
+    ours = DiagonalGaussian.from_moments(
+        jnp.asarray(moments.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(
+        np.asarray(ours.mode()).transpose(0, 3, 1, 2),
+        ref.mode().numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ours.std).transpose(0, 3, 1, 2),
+        ref.std.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.kl()),
+                               ref.kl().numpy(), rtol=1e-5)
+    sample = np.random.default_rng(4).normal(
+        size=(2, 4, 4, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours.nll(jnp.asarray(sample.transpose(0, 2, 3, 1)))),
+        ref.nll(torch.from_numpy(sample)).numpy(), rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.environ.get("SVTPU_FULLSIZE"),
+                    reason="full-size CPU pass takes minutes; set "
+                           "SVTPU_FULLSIZE=1")
+def test_fullsize_encode_parity_vs_reference():
+    """One [1, 3, 704, 1280] pass through the genuine full-config encoder
+    (ch 128, mult 1/2/4/4, 2 res blocks, 14,080-token mid attention) vs
+    svtpu in f32 and bf16. Random weights (no SD ckpt in this env);
+    measured bounds recorded in RESULTS.md."""
+    enc, _, quant, _, sd = _real_autoencoder(FULL)
+    x = torch.from_numpy(
+        np.random.default_rng(5).uniform(-1, 1, (1, 3, 704, 1280))
+        .astype(np.float32))
+    with torch.no_grad():
+        expected = quant(enc(x)).numpy()
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+
+    params = convert_autoencoder_kl(sd, FULL, prefix="")
+    got = np.asarray(AutoencoderKL(FULL).apply(
+        params, x_nhwc, method=AutoencoderKL.encode)).transpose(0, 3, 1, 2)
+    assert got.shape == expected.shape == (1, 8, 88, 160)
+    np.testing.assert_allclose(got, expected, rtol=1e-2, atol=1e-3)
+
+    bf16 = PerceptualConfig(compute_dtype="bfloat16")
+    got16 = np.asarray(AutoencoderKL(bf16).apply(
+        convert_autoencoder_kl(sd, bf16, prefix=""), x_nhwc,
+        method=AutoencoderKL.encode), np.float32).transpose(0, 3, 1, 2)
+    scale = max(float(np.std(expected)), 1e-6)
+    rel = np.abs(got16 - expected) / scale
+    print(f"fullsize f32 max abs err {np.abs(got - expected).max():.2e}; "
+          f"bf16 max rel-to-std err {rel.max():.4f}")
+    assert float(rel.max()) < 0.15
