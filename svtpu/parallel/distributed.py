@@ -25,9 +25,11 @@ def initialize(coordinator_address: Optional[str] = None,
     auto-detected from the environment; explicit values are for manual
     CPU/GPU clusters.
     """
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return True
+    # Probe WITHOUT jax.process_count(): that call initializes the XLA
+    # backend, after which jax.distributed.initialize() hard-errors —
+    # is_initialized() is the backend-safe check.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     want_multi = (coordinator_address is not None
                   or os.environ.get("JAX_COORDINATOR_ADDRESS")
                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")

@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the 8-device virtual CPU mesh: pure data
 parallelism, data+tensor parallelism, and the partition-rule machinery."""
+import os
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,34 @@ def test_batch_roundup_scales_lr_linearly():
     tcfg = TrainConfig(batch_size=16, learning_rate=1e-3)
     tr = Trainer(mcfg, tcfg, ArrayStore(), splits, meta.flags, mesh=mesh8)
     assert tr.cfg.learning_rate == 1e-3
+
+
+def test_two_process_distributed():
+    """REAL multi-process path: two CPU processes, explicit coordinator,
+    jax.distributed.initialize via svtpu initialize(), a 2-process global
+    mesh, local_batch_to_global assembly, and one cross-process psum
+    (reference role: the dormant DDP harness, ``main.py:521``)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    worker = str(Path(__file__).parent / "_dist_worker.py")
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=str(Path(__file__).parents[1]))
+    procs = [subprocess.Popen(
+                 [sys.executable, worker, addr, "2", str(pid)],
+                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                 text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER_OK {pid} total=24.0" in out, out
