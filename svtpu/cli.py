@@ -191,13 +191,50 @@ def _eval_store(args, meta):
     return _pixel_store(args, meta)
 
 
-def cmd_eval_consistency(args):
+def _model_namespaces(args):
+    """Expand repeatable ``--model key=value,...`` specs into per-model
+    argument namespaces (svtpu's version of the reference's hard-coded
+    two-model comparison, ``embedding_matching.py:366-397``). Without
+    ``--model``, the single ``--ckpt``/``--variant`` pair is one spec."""
+    import argparse
+
+    if not getattr(args, "model", None):
+        if not args.ckpt:
+            raise SystemExit("provide --ckpt or at least one --model")
+        return [(args.variant, args)]
+    out = []
+    for spec in args.model:
+        kv = {}
+        for part in spec.split(","):
+            if "=" not in part:
+                raise SystemExit(f"bad --model entry {part!r}; expected "
+                                 "key=value[,key=value...]")
+            k, v = part.split("=", 1)
+            kv[k.strip()] = v.strip()
+        unknown = set(kv) - {"variant", "ckpt", "latent", "name",
+                             "embeddings"}
+        if unknown:
+            raise SystemExit(f"unknown --model keys: {sorted(unknown)}")
+        if "ckpt" not in kv:
+            raise SystemExit(f"--model needs ckpt=...: {spec!r}")
+        ns = argparse.Namespace(**vars(args))
+        ns.ckpt = kv["ckpt"]
+        ns.variant = kv.get("variant", args.variant)
+        ns.latent_dim = int(kv.get("latent", args.latent_dim))
+        if "embeddings" in kv:
+            ns.embeddings = kv["embeddings"]
+        out.append((kv.get("name", ns.variant), ns))
+    if len({n for n, _ in out}) != len(out):
+        raise SystemExit("duplicate --model names; add name=... to "
+                         "disambiguate")
+    return out
+
+
+def _consistency_for_model(name, args, meta):
     from svtpu.data.datasets import FrameStore
     from svtpu.data.segments import split_segments
-    from svtpu.evaluation.consistency import (evaluate_consistency,
-                                              plot_results, write_csv)
+    from svtpu.evaluation.consistency import evaluate_consistency
 
-    meta = _video_meta(args)
     pixel_to_input = None
     if args.variant == "percep":
         # Percep models: perturb pixels at SD resolution, re-encode through
@@ -235,63 +272,95 @@ def cmd_eval_consistency(args):
 
         cfg = rbvae_variant("percep", latent_dim=args.latent_dim)
         bundle = RBVAEBundle.from_checkpoint(args.ckpt, cfg, name="percep")
-    results = evaluate_consistency(bundle, frames01, test_idx, meta.flags,
-                                   num_trials=args.trials,
-                                   temperature=args.temperature,
-                                   pixel_to_input=pixel_to_input)
+    bundle.name = name
+    return evaluate_consistency(bundle, frames01, test_idx, meta.flags,
+                                num_trials=args.trials,
+                                temperature=args.temperature,
+                                pixel_to_input=pixel_to_input)
+
+
+def cmd_eval_consistency(args):
+    """One or many models side by side in one chart/CSV (the reference
+    compares its pixels and perceps best models in a single artifact,
+    ``embedding_matching.py:400-565``)."""
+    from svtpu.evaluation.consistency import plot_results, write_csv
+
+    meta = _video_meta(args)
+    results = []
+    for name, ns in _model_namespaces(args):
+        results.extend(_consistency_for_model(name, ns, meta))
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     write_csv(results, out / "consistency.csv")
     plot_results(results, out / "consistency.png")
     for r in results:
-        print(f"{r.perturbation}: {r.mean:.4f} ± {r.std:.4f}")
+        print(f"{r.model_name} {r.perturbation}: {r.mean:.4f} ± {r.std:.4f}")
 
 
 def cmd_eval_hamming(args):
-    from svtpu.data.segments import split_segments
+    """One or many models in one chart/CSV (reference:
+    ``embedding_hamming_distance.py:193-288`` compares pixels + perceps
+    side by side; per-model ``embeddings=...`` routes a percep model to
+    its precomputed-embedding store while pixel models read frames)."""
     from svtpu.evaluation.hamming import (evaluate_hamming, plot_results,
                                           write_csv)
 
     meta = _video_meta(args)
-    store, splits = _eval_store(args, meta)
-    test_idx = splits.flat("test")
-    frames = store.gather(np.asarray(test_idx))
-    bundle = _bundle(args, store)
-    res = evaluate_hamming(bundle, frames, test_idx, meta.flags,
-                           temperature=args.temperature)
+    results = {}
+    for name, ns in _model_namespaces(args):
+        store, splits = _eval_store(ns, meta)
+        test_idx = splits.flat("test")
+        frames = store.gather(np.asarray(test_idx))
+        bundle = _bundle(ns, store)
+        results[name] = evaluate_hamming(bundle, frames, test_idx,
+                                         meta.flags,
+                                         temperature=ns.temperature)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    write_csv({bundle.name: res}, out / "hamming.csv")
-    plot_results({bundle.name: res}, out / "hamming.png")
-    print("adjacent hamming:", res["hamming"].tolist())
+    write_csv(results, out / "hamming.csv")
+    plot_results(results, out / "hamming.png")
+    for name, res in results.items():
+        print(f"{name} adjacent hamming:", res["hamming"].tolist())
 
 
 def cmd_eval_projections(args):
     meta = _video_meta(args)
-    store, splits = _eval_store(args, meta)
-    test_idx = splits.flat("test")
-    frames = store.gather(np.asarray(test_idx))
-    bundle = _bundle(args, store)
+    specs = _model_namespaces(args)
     from svtpu.evaluation.projections import evaluate_projections
 
-    written = evaluate_projections(bundle, frames, test_idx, meta.flags,
-                                   args.out_dir)
-    print(json.dumps(written))
+    written = {}
+    for name, ns in specs:
+        store, splits = _eval_store(ns, meta)
+        test_idx = splits.flat("test")
+        frames = store.gather(np.asarray(test_idx))
+        bundle = _bundle(ns, store)
+        out = (Path(args.out_dir) / name if len(specs) > 1
+               else Path(args.out_dir))
+        written[name] = evaluate_projections(bundle, frames, test_idx,
+                                             meta.flags, out)
+    print(json.dumps(written if len(specs) > 1
+                     else next(iter(written.values()))))
 
 
 def cmd_eval_probe(args):
     meta = _video_meta(args)
-    store, splits = _eval_store(args, meta)
-    test_idx = splits.flat("test")
-    frames = store.gather(np.asarray(test_idx))
-    bundle = _bundle(args, store)
+    specs = _model_namespaces(args)
     from svtpu.evaluation.linear_probe import evaluate_linear_probe
 
-    out = Path(args.out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    metrics = evaluate_linear_probe(bundle, frames,
-                                    example_path=out / "probe_example.png")
-    print(json.dumps(metrics))
+    metrics = {}
+    for name, ns in specs:
+        store, splits = _eval_store(ns, meta)
+        test_idx = splits.flat("test")
+        frames = store.gather(np.asarray(test_idx))
+        bundle = _bundle(ns, store)
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        example = out / (f"probe_example_{name}.png" if len(specs) > 1
+                         else "probe_example.png")
+        metrics[name] = evaluate_linear_probe(bundle, frames,
+                                              example_path=example)
+    print(json.dumps(metrics if len(specs) > 1
+                     else next(iter(metrics.values()))))
 
 
 def cmd_interpolate(args):
@@ -405,7 +474,12 @@ def main(argv=None):
         sp = sub.add_parser(name)
         _add_video_args(sp)
         sp.add_argument("--frames-dir")
-        sp.add_argument("--ckpt", required=True)
+        sp.add_argument("--ckpt")
+        sp.add_argument("--model", action="append",
+                        help="repeatable side-by-side model spec "
+                             "'ckpt=DIR[,variant=V][,latent=N][,name=S]"
+                             "[,embeddings=PATH]' (combined chart/CSV, "
+                             "like the reference's two-model comparison)")
         sp.add_argument("--variant", default="contrastive")
         sp.add_argument("--latent-dim", type=int, default=32)
         sp.add_argument("--resolution", type=int, default=256)

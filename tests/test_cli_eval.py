@@ -1,0 +1,99 @@
+"""CLI-level eval tests: the side-by-side multi-model comparison
+(reference's combined two-model chart/CSV,
+``embedding_matching.py:400-565``, ``embedding_hamming_distance.py:193-288``)
+driven end-to-end through ``svtpu.cli``."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svtpu import cli
+from svtpu.config import rbvae_variant
+from svtpu.models.rbvae import Seq2SeqBinaryVAE
+from svtpu.training.checkpoints import BestCheckpointer
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    """48 tiny jpgs in the %010d.jpg layout + a 3-state flag set."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(48):
+        arr = np.full((32, 32, 3), 40 * (i // 16), np.uint8)
+        arr = np.clip(arr + rng.integers(0, 40, arr.size)
+                      .reshape(arr.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i:010d}.jpg")
+    return d
+
+
+def _save_ckpt(tmp_path, name, seed, latent=6):
+    cfg = rbvae_variant("contrastive", latent_dim=latent, input_hw=(32, 32))
+    model = Seq2SeqBinaryVAE(cfg)
+    params = model.init({"params": jax.random.key(seed)},
+                        jnp.zeros((1, 1, 32, 32, 3)), 1.0, False,
+                        deterministic=True)
+    ck = BestCheckpointer(tmp_path / name)
+    # Trainer checkpoints {"params": TrainState.params} where
+    # TrainState.params is itself the {"params": ...} apply tree.
+    ck.save({"params": params}, epoch=0, metric=0.0)
+    return str(tmp_path / name)
+
+
+VIDEO = ["--video", "tiny", "--flags", "16", "32", "--last-frame", "47",
+         "--grey-out", "0", "--resolution", "32"]
+
+
+def test_eval_consistency_side_by_side(video_dir, tmp_path):
+    a = _save_ckpt(tmp_path, "a", 0)
+    b = _save_ckpt(tmp_path, "b", 1)
+    out = tmp_path / "out"
+    cli.main(["eval-consistency", *VIDEO,
+              "--frames-dir", str(video_dir),
+              "--model", f"ckpt={a},name=pixels,latent=6",
+              "--model", f"ckpt={b},name=other,latent=6",
+              "--trials", "2", "--out-dir", str(out)])
+    csv = (out / "consistency.csv").read_text()
+    assert "pixels," in csv and "other," in csv
+    # 2 models x 3 perturbations + header
+    assert len(csv.strip().splitlines()) == 7
+    assert (out / "consistency.png").exists()
+
+
+def test_eval_hamming_side_by_side(video_dir, tmp_path):
+    a = _save_ckpt(tmp_path, "a2", 2)
+    b = _save_ckpt(tmp_path, "b2", 3)
+    out = tmp_path / "out2"
+    cli.main(["eval-hamming", *VIDEO,
+              "--frames-dir", str(video_dir),
+              "--model", f"ckpt={a},name=pixels,latent=6",
+              "--model", f"ckpt={b},name=other,latent=6",
+              "--out-dir", str(out)])
+    csv = (out / "hamming.csv").read_text()
+    assert "pixels," in csv and "other," in csv
+    assert (out / "hamming.png").exists()
+
+
+def test_eval_single_model_unchanged(video_dir, tmp_path):
+    """The original --ckpt interface still works (backward compat)."""
+    a = _save_ckpt(tmp_path, "a3", 4)
+    out = tmp_path / "out3"
+    cli.main(["eval-consistency", *VIDEO,
+              "--frames-dir", str(video_dir),
+              "--ckpt", a, "--latent-dim", "6",
+              "--trials", "1", "--out-dir", str(out)])
+    assert (out / "consistency.csv").exists()
+
+
+def test_model_spec_errors(video_dir, tmp_path):
+    with pytest.raises(SystemExit, match="ckpt"):
+        cli.main(["eval-hamming", *VIDEO, "--frames-dir", str(video_dir),
+                  "--model", "name=x", "--out-dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="unknown --model keys"):
+        cli.main(["eval-hamming", *VIDEO, "--frames-dir", str(video_dir),
+                  "--model", "ckpt=x,bogus=1", "--out-dir", str(tmp_path)])
+    with pytest.raises(SystemExit, match="--ckpt or at least one"):
+        cli.main(["eval-hamming", *VIDEO, "--frames-dir", str(video_dir),
+                  "--out-dir", str(tmp_path)])
