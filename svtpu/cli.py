@@ -363,6 +363,34 @@ def cmd_eval_probe(args):
                      else next(iter(metrics.values()))))
 
 
+def cmd_eval_tradeoff(args):
+    """Joint (consistency, separation) table/chart over every checkpoint a
+    sweep saved — the published trade-off curve for ``contrast_on="z"``
+    (svtpu addition; DESIGN.md §8)."""
+    from svtpu.evaluation.tradeoff import (evaluate_sweep_dir, pareto_front,
+                                           plot_tradeoff, write_csv)
+
+    meta = _video_meta(args)
+    store, splits = _eval_store(args, meta)
+    points = evaluate_sweep_dir(args.sweep_dir, store, splits, meta.flags,
+                                variant=args.variant,
+                                temperature=args.temperature,
+                                split=args.split)
+    if not points:
+        raise SystemExit(f"no evaluated checkpoints in {args.sweep_dir}")
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    write_csv(points, out / "tradeoff.csv")
+    plot_tradeoff(points, out / "tradeoff.png", sep_target=args.sep_target)
+    for p in sorted(points, key=lambda p: -p.consistency
+                    * min(p.separation / args.sep_target, 1.0)):
+        print(f"{p.run}: consistency {p.consistency:.3f} "
+              f"(det {p.det_consistency:.3f}), separation "
+              f"{p.separation:.2f} bits")
+    front = pareto_front(points)
+    print("pareto front:", [p.run for p in front])
+
+
 def cmd_interpolate(args):
     from svtpu.config import PerceptualConfig
     from svtpu.perceptual.convert import (convert_autoencoder_kl,
@@ -493,6 +521,23 @@ def main(argv=None):
         sp.add_argument("--embeddings",
                         help=".npy embeddings (percep-variant evals)")
         sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("eval-tradeoff",
+                        help="consistency-vs-separation curve over a "
+                             "sweep's checkpoints")
+    _add_video_args(sp)
+    sp.add_argument("--frames-dir")
+    sp.add_argument("--embeddings")
+    sp.add_argument("--sweep-dir", required=True)
+    sp.add_argument("--variant", default="contrastive")
+    sp.add_argument("--resolution", type=int, default=256)
+    sp.add_argument("--test-pct", type=float, default=0.1)
+    sp.add_argument("--val-pct", type=float, default=0.1)
+    sp.add_argument("--temperature", type=float, default=0.2)
+    sp.add_argument("--split", default="val", choices=["val", "test"])
+    sp.add_argument("--sep-target", type=float, default=3.0)
+    sp.add_argument("--out-dir", default="eval_out")
+    sp.set_defaults(fn=cmd_eval_tradeoff)
 
     sp = sub.add_parser("interpolate", help="SD latent interpolation demo")
     sp.add_argument("image_a")

@@ -75,9 +75,12 @@ def train_with_config(config: Dict, variant: str, store,
                     for v in hist["val_losses"]), default=np.inf)
     best_comb = max((v.get("combined_score", 0.0)
                      for v in hist["val_losses"]), default=0.0)
+    best_sep = max((v.get("state_separation", 0.0)
+                    for v in hist["val_losses"]), default=0.0)
     summary = {"best_consistency_score": float(best_cons),
                "best_val_loss": float(best_val),
-               "best_combined_score": float(best_comb)}
+               "best_combined_score": float(best_comb),
+               "best_separation": float(best_sep)}
     if save_path:
         (Path(save_path).parent / f"{run_name}_config.json").write_text(
             json.dumps({"config": config, **summary}, indent=2))

@@ -97,3 +97,37 @@ def test_model_spec_errors(video_dir, tmp_path):
     with pytest.raises(SystemExit, match="--ckpt or at least one"):
         cli.main(["eval-hamming", *VIDEO, "--frames-dir", str(video_dir),
                   "--out-dir", str(tmp_path)])
+
+
+def test_eval_tradeoff(video_dir, tmp_path):
+    """eval-tradeoff over a fake sweep dir: two checkpoints + their
+    config jsons -> joint CSV + scatter chart + pareto front."""
+    import json
+
+    sweep = tmp_path / "sweep"
+    sweep.mkdir()
+    for i in range(2):
+        _save_ckpt(sweep, f"best_model_local_{i}", seed=10 + i)
+        (sweep / f"local_{i}_config.json").write_text(json.dumps(
+            {"config": {"latent_dim": 6, "noise_ratio": 0.1,
+                        "margin": 1.0 + i}}))
+    out = tmp_path / "out_t"
+    cli.main(["eval-tradeoff", *VIDEO,
+              "--frames-dir", str(video_dir),
+              "--sweep-dir", str(sweep), "--out-dir", str(out)])
+    csv = (out / "tradeoff.csv").read_text()
+    lines = csv.strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith(
+        "run,consistency,det_consistency,separation_bits")
+    assert (out / "tradeoff.png").exists()
+
+
+def test_pareto_front():
+    from svtpu.evaluation.tradeoff import TradeoffPoint, pareto_front
+
+    pts = [TradeoffPoint("a", 0.9, 1.0, 0.9, {}),
+           TradeoffPoint("b", 0.5, 3.0, 0.5, {}),
+           TradeoffPoint("c", 0.4, 2.0, 0.4, {}),   # dominated by b
+           TradeoffPoint("d", 0.9, 0.5, 0.9, {})]   # dominated by a
+    front = pareto_front(pts)
+    assert [p.run for p in front] == ["a", "b"]
