@@ -276,6 +276,130 @@ def bench_attention_backward():
         "bwd_over_fwd": round(t_bwd / t_fwd, 2)}))
 
 
+def bench_encode_breakdown(batch=512, reps=32):
+    """Per-stage timing + analytic roofline of the headline encode path.
+
+    Every stage is timed with the scalar-in-graph sync protocol (stage →
+    f32 sum inside the jit; the standalone sum of the stage's output is
+    timed too and subtracted), so relay readback quirks cancel. Alongside
+    achieved TFLOPS, prints each stage's MXU tiling ceiling — the fraction
+    of the 128x128 systolic array the stage's GEMM shape can fill — which
+    is the roofline argument for what the headline number *can* reach.
+    """
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.binarize import binary_concrete
+    from svtpu.ops.conv import Conv2dTorch, Dense
+    from svtpu.ops.image import to_float01
+    from svtpu.ops.lstm import LSTM
+
+    latent = 50
+    cfg = rbvae_variant("contrastive", latent_dim=latent,
+                        compute_dtype="bfloat16")
+    model = Seq2SeqBinaryVAE(cfg)
+    params = model.init({"params": jax.random.key(0)},
+                        jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
+                        1.0, False, deterministic=True)["params"]
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                  dtype=np.uint8))
+    key = jax.random.key(1)
+
+    enc = params["encoder_cnn"]
+    conv = Conv2dTorch(64, 3, 2, 1, dtype=dt)
+    fc = Dense(latent, dtype=dt)
+    lstm = LSTM(latent, 2, dtype=dt)
+
+    def s_norm(x):
+        return to_float01(x, dt)
+
+    def s_conv0(x):
+        return jax.nn.relu(conv.apply({"params": enc["conv_0"]}, x))
+
+    def s_conv1(x):
+        return jax.nn.relu(conv.apply({"params": enc["conv_1"]}, x))
+
+    def s_conv2(x):
+        return conv.apply({"params": enc["conv_2"]}, x)
+
+    def s_fc(x):
+        return fc.apply({"params": enc["fc"]}, x.reshape(x.shape[0], -1))
+
+    def s_lstm(x):
+        return lstm.apply({"params": params["encoder_rnn"]}, x[:, None])
+
+    def s_bin(x):
+        return binary_concrete(x, key, 0.2, True, noise_scale=0.1)
+
+    # FLOPs per frame (MACs*2) and the MXU tiling ceiling of the GEMM each
+    # stage lowers to ([M, K] @ [K, N]): the fraction of the 128x128
+    # systolic array the K (contraction) and N (output-lane) axes can fill
+    # after padding to 128-tiles. M (= batch x positions) is large for
+    # every stage, so it never limits.
+    def mxu_ceiling(k_dim, n_dim):
+        fill = lambda d: d / (-(-d // 128) * 128)  # noqa: E731
+        return fill(k_dim) * fill(n_dim)
+
+    stages = [
+        # name, fn, flops/frame, K, N
+        ("u8->f01", s_norm, 0, None, None),
+        ("conv0 3->64 s2 (+relu)", s_conv0,
+         2 * 128 * 128 * 64 * 27, 27, 64),
+        ("conv1 64->64 s2 (+relu)", s_conv1,
+         2 * 64 * 64 * 64 * 576, 576, 64),
+        ("conv2 64->64 s2", s_conv2, 2 * 32 * 32 * 64 * 576, 576, 64),
+        ("fc 65536->50", s_fc, 2 * 65536 * latent, 65536, latent),
+        ("lstm x2 (T=1)", s_lstm, 2 * (latent * 4 * latent * 2) * 2,
+         latent, 4 * latent),
+        ("binarize", s_bin, 0, None, None),
+    ]
+
+    def timed_scalar(fn, x):
+        f = jax.jit(lambda a: jnp.sum(fn(a), dtype=jnp.float32))
+        for _ in range(8):
+            float(np.asarray(f(x)))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(x)
+        float(np.asarray(out))
+        return (time.perf_counter() - t0) / reps
+
+    x = u8
+    total_ms = 0.0
+    rows = []
+    for name, fn, flops, k_dim, n_dim in stages:
+        t_with = timed_scalar(fn, x)
+        out = jax.jit(fn)(x)
+        t_sum = timed_scalar(lambda a: a, out)
+        t = max(t_with - t_sum, 1e-9)
+        total_ms += t * 1e3
+        row = {"stage": name, "ms": round(t * 1e3, 3)}
+        if flops:
+            tf = flops * batch / t / 1e12
+            row["tflops"] = round(tf, 1)
+            row["pct_peak"] = round(tf / 197.0 * 100, 1)
+            if k_dim:
+                row["mxu_tiling_ceiling_pct"] = round(
+                    mxu_ceiling(k_dim, n_dim) * 100, 1)
+        rows.append(row)
+        x = out
+
+    full = timed_scalar(
+        lambda f: model.apply(
+            {"params": params}, to_float01(f, jnp.float32)[:, None], 0.2,
+            True, 0.1, method=Seq2SeqBinaryVAE.encode, deterministic=False,
+            bc_rng=key).astype(jnp.uint8), u8)
+    for r in rows:
+        print(json.dumps({"bench": "encode_breakdown", **r,
+                          "pct_of_path": round(r["ms"] / total_ms * 100, 1)}))
+    print(json.dumps({"bench": "encode_breakdown", "stage": "SUM",
+                      "ms": round(total_ms, 3),
+                      "full_path_ms": round(full * 1e3, 3),
+                      "batch": batch,
+                      "full_fps": round(batch / full, 0)}))
+
+
 def bench_data_plane(tmpdir="/tmp/svtpu_bench_frames"):
     import os
     from pathlib import Path
@@ -321,6 +445,7 @@ if __name__ == "__main__":
         "sd_encoder": bench_sd_encoder,
         "attention": bench_flash_attention,
         "attention_bwd": bench_attention_backward,
+        "breakdown": bench_encode_breakdown,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():
