@@ -128,17 +128,25 @@ def run_sweep(variant: str, store, video_meta: VideoMeta,
         return {"sweep_id": sweep_id}
 
     # Local random search.
+    import time
+
     rng = np.random.default_rng(seed)
     best, best_cfg, trials = None, None, []
     maximize = metric[1] == "maximize"
     for t in range(count):
         cfg = sample(space, rng)
+        brief = {k: (round(v, 5) if isinstance(v, float) else v)
+                 for k, v in cfg.items()}
+        print(f"[trial {t}/{count}] {brief}", flush=True)
+        t0 = time.time()
         res = train_with_config(cfg, variant, store, video_meta, save_dir,
                                 run_name=f"local_{t}")
         score = res[metric[0]]
         trials.append({"config": cfg, metric[0]: score})
         if best is None or (score > best if maximize else score < best):
             best, best_cfg = score, cfg
+        print(f"[trial {t}/{count}] {metric[0]}={score:.4f} "
+              f"(best {best:.4f}) in {time.time() - t0:.0f}s", flush=True)
     result = {"best": best, "best_config": best_cfg, "trials": trials,
               "metric": metric[0]}
     if save_dir:

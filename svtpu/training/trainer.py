@@ -19,6 +19,7 @@ the bare simple loop ``simple_RBVAE_train.py:143-188``) as one engine:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Sequence
 
@@ -533,6 +534,16 @@ class Trainer:
                 melk_requested[0] = False
             history["train_losses"].append(train_losses)
             history["val_losses"].append(val_losses)
+            # Stdout heartbeat for long unattended runs (sweeps through a
+            # relay): SVTPU_EPOCH_LOG=N prints every N epochs.
+            hb = int(os.environ.get("SVTPU_EPOCH_LOG", "0") or 0)
+            if hb and (epoch % hb == 0 or epoch == num_epochs - 1):
+                print(f"[epoch {epoch}] "
+                      f"train {train_losses.get('total_loss', 0):.4f} "
+                      f"cons {val_losses['consistency_score']:.3f} "
+                      f"sep {val_losses['state_separation']:.2f} "
+                      f"best {history['best_metric']:.4f}"
+                      f"@{history['best_epoch']}", flush=True)
 
         if prev_handler is not None:
             import signal
