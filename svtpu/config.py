@@ -253,6 +253,11 @@ class TrainConfig:
     # Mesh axes for data parallelism; batch is sharded over "data".
     mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Stage the whole frame/embedding store in device HBM and feed the
+    # jitted steps row indices instead of frame batches: "auto" (stage when
+    # the store is <=2 GiB), True (always), False (never). Cuts per-step
+    # host->device traffic from the frame batch to KBs of indices.
+    stage_frames: object = "auto"
     # Multi-chip batch/LR policy. svtpu's batch_size is the GLOBAL batch
     # (sharded over the data axis), so unlike the reference's dormant DDP
     # harness (``main.py:686-690``: lr = accumulate x ngpu x bs x base_lr,

@@ -141,13 +141,23 @@ class PairBatcher:
         return -(-self.num_pairs // self.batch_size)
 
     def epoch(self, epoch_idx: int) -> Iterable[np.ndarray]:
+        for idx in self.epoch_frame_indices(epoch_idx):
+            yield self.store.gather(idx)
+
+    def epoch_frame_indices(self, epoch_idx: int) -> Iterable[np.ndarray]:
+        """Same batches as :meth:`epoch` but as frame-index arrays."""
         batches = epoch_batches(self.pair_table, self.batch_size,
                                 self.seed + 7919 * (epoch_idx + 1),
                                 shuffle=self.shuffle)
         for b in batches:                       # [B, S, 2]
-            # → [B, 2, S, ...]: member m of pair, per state.
-            idx = np.transpose(b, (0, 2, 1))    # [B, 2, S]
-            yield self.store.gather(idx)
+            # → [B, 2, S]: member m of pair, per state.
+            yield np.transpose(b, (0, 2, 1))
+
+    def epoch_indices(self, epoch_idx: int) -> Iterable[np.ndarray]:
+        """Row indices into ``store.array`` for device-staged gathers;
+        identical batch order to :meth:`epoch` (same seeds)."""
+        for idx in self.epoch_frame_indices(epoch_idx):
+            yield self.store.rows(idx).astype(np.int32)
 
 
 class RandomPairBatcher:

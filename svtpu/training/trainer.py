@@ -209,6 +209,22 @@ class Trainer:
                 store, splits.val, train_cfg.batch_size, seed=self.seed + 1,
                 shuffle=False)
 
+        # Device-resident frame bank: when the whole store fits comfortably
+        # in HBM, upload it ONCE and feed the jitted steps row *indices* —
+        # the per-step host→device transfer drops from the full frame batch
+        # (e.g. 125 MB at batch 64x2x5 pairs) to KBs, and the gather runs
+        # on-chip. Decisive through thin links (remote relays); on real
+        # hosts it removes the PCIe stream entirely.
+        self._bank = None
+        if (train_cfg.objective != "simple"
+                and train_cfg.stage_frames
+                and hasattr(store, "array") and hasattr(store, "rows")):
+            nbytes = int(getattr(store.array, "nbytes", 0))
+            if train_cfg.stage_frames != "auto" \
+                    or 0 < nbytes <= 2 * 1024**3:
+                self._bank = jax.device_put(jnp.asarray(store.array),
+                                            self._rep)
+
     # ------------------------------------------------------------------ init
 
     def init_state(self) -> TrainState:
@@ -239,7 +255,13 @@ class Trainer:
         cfg, model, tx = self.cfg, self.model, self.tx
         obj = self._objective()
 
-        def train_step(state: TrainState, batch, key):
+        def train_step(state: TrainState, batch, key, bank=None):
+            if bank is not None:
+                # Device-staged input: ``batch`` is row indices into the
+                # HBM-resident frame bank; the gather happens on-chip so the
+                # host→device transfer is KBs of indices instead of the
+                # frames themselves.
+                batch = bank[batch]
             step = state.step + 1
             temp = temperature_schedule(
                 step, cfg.init_temperature, cfg.final_temperature,
@@ -274,7 +296,9 @@ class Trainer:
         # (``contrastive_RBVAE_train.py:562-565``); triplet does not.
         normalize = cfg.objective == "contrastive"
 
-        def val_step(params, batch, key):
+        def val_step(params, batch, key, bank=None):
+            if bank is not None:
+                batch = bank[batch]
             total, m = obj(model, cfg, params, batch,
                            cfg.final_temperature, hard, key,
                            deterministic=True)
@@ -293,26 +317,37 @@ class Trainer:
 
     def encode_frames(self, params, frames: np.ndarray, temperature: float,
                       hard: bool = True, noise: bool = True,
-                      seed: int = 0, chunk: int = 128) -> np.ndarray:
+                      seed: int = 0, chunk: int = 128,
+                      from_bank: bool = False) -> np.ndarray:
         """Batched single-frame encode → codes ``[N, latent]``.
 
         Each frame is a T=1 sequence, exactly like the reference's
         consistency path (``percep_RBVAE_train.py:459-462``) but batched
         ``chunk`` frames at a time instead of one by one.
+
+        ``from_bank=True``: ``frames`` are row indices into the staged
+        device bank; only the indices travel to the device.
         """
         model, cfg = self.model, self.cfg
+        use_bank = from_bank and self._bank is not None
 
         if "enc" not in self._compiled_encode:
-            def enc(params, x, key, temp, hard, noise):
+            def enc_plain(params, x, key, temp, hard, noise):
                 return model.apply(
                     params, x[:, None], temp, hard, cfg.noise_ratio,
                     method=Seq2SeqBinaryVAE.encode,
                     deterministic=not noise, bc_rng=key if noise else None)
             # temperature is traced; hard/noise are static (they change the
             # computation graph).
-            self._compiled_encode["enc"] = jax.jit(enc,
+            self._compiled_encode["enc"] = jax.jit(enc_plain,
                                                    static_argnums=(4, 5))
-        enc = self._compiled_encode["enc"]
+
+            def enc_rows(params, rows, bank, key, temp, hard, noise):
+                return enc_plain(params, _prep(bank[rows]), key, temp,
+                                 hard, noise)
+            self._compiled_encode["enc_rows"] = jax.jit(
+                enc_rows, static_argnums=(5, 6))
+        enc = self._compiled_encode["enc_rows" if use_bank else "enc"]
 
         n = len(frames)
         out = []
@@ -322,11 +357,28 @@ class Trainer:
             pad = chunk - len(part)
             if pad:
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
-            x = _prep(jax.device_put(jnp.asarray(part), self._bsh))
-            z = enc(params, x, jax.random.fold_in(key, i),
-                    jnp.float32(temperature), hard, noise)
+            x = jax.device_put(jnp.asarray(part), self._bsh)
+            if use_bank:
+                z = enc(params, x, self._bank, jax.random.fold_in(key, i),
+                        jnp.float32(temperature), hard, noise)
+            else:
+                z = enc(params, _prep(x), jax.random.fold_in(key, i),
+                        jnp.float32(temperature), hard, noise)
             out.append(np.asarray(z)[:, 0][:len(frames[i:i + chunk])])
         return np.concatenate(out) if out else np.zeros((0,))
+
+    def _val_codes(self, params, val_idx, temperature, noise: bool,
+                   seed: int) -> np.ndarray:
+        """Codes for the validation frames, via the staged bank when
+        available (indices-only transfer) else a host gather."""
+        if self._bank is not None:
+            rows = self.store.rows(np.asarray(val_idx)).astype(np.int32)
+            return self.encode_frames(params, rows, temperature, hard=True,
+                                      noise=noise, seed=seed,
+                                      from_bank=True)
+        frames = self.store.gather(np.asarray(val_idx))
+        return self.encode_frames(params, frames, temperature, hard=True,
+                                  noise=noise, seed=seed)
 
     def state_consistency(self, params, temperature: float,
                           noise: bool = True, seed: int = 0):
@@ -335,9 +387,7 @@ class Trainer:
         val_idx = [i for s in self.splits.val for i in s]
         if not val_idx:
             return 0.0, []
-        frames = self.store.gather(np.asarray(val_idx))
-        codes = self.encode_frames(params, frames, temperature, hard=True,
-                                   noise=noise, seed=seed)
+        codes = self._val_codes(params, val_idx, temperature, noise, seed)
         if self.labels_by_index is not None:
             labels = np.asarray([self.labels_by_index[i] for i in val_idx])
             num_states = int(max(self.labels_by_index.values())) + 1
@@ -358,9 +408,8 @@ class Trainer:
         val_idx = [i for s in self.splits.val for i in s]
         if not val_idx:
             return 0.0
-        frames = self.store.gather(np.asarray(val_idx))
-        codes = self.encode_frames(params, frames, temperature, hard=True,
-                                   noise=False, seed=seed)
+        codes = self._val_codes(params, val_idx, temperature, noise=False,
+                                seed=seed)
         if self.labels_by_index is not None:
             labels = np.asarray([self.labels_by_index[i] for i in val_idx])
             num_states = int(max(self.labels_by_index.values())) + 1
@@ -475,12 +524,16 @@ class Trainer:
         frames_seen = 0
         from svtpu.data.prefetch import prefetch_to_device
 
+        staged = self._bank is not None
+
         for epoch in range(start_epoch, num_epochs):
-            # ---- train (batches prefetched to device 2 steps ahead)
+            # ---- train (batches prefetched to device 2 steps ahead; with a
+            # staged bank only row indices travel, the gather runs on-chip)
             sums, nb = {}, 0
-            for b in prefetch_to_device(self.train_batcher.epoch(epoch),
-                                        self._bsh):
-                state, metrics = train_step(state, b, base_key)
+            batches = (self.train_batcher.epoch_indices(epoch) if staged
+                       else self.train_batcher.epoch(epoch))
+            for b in prefetch_to_device(batches, self._bsh):
+                state, metrics = train_step(state, b, base_key, self._bank)
                 nb += 1
                 frames_seen += int(np.prod(b.shape[:3]))
                 if log_every and nb % log_every == 0:
@@ -493,9 +546,11 @@ class Trainer:
             # ---- validate
             vsums, vn = {}, 0
             vkey = jax.random.fold_in(base_key, 10_000_000 + epoch)
-            for batch in self.val_batcher.epoch(0):
+            vbatches = (self.val_batcher.epoch_indices(0) if staged
+                        else self.val_batcher.epoch(0))
+            for batch in vbatches:
                 b = jax.device_put(jnp.asarray(batch), self._bsh)
-                m = val_step(state.params, b, vkey)
+                m = val_step(state.params, b, vkey, self._bank)
                 vn += 1
                 for k, v in m.items():
                     vsums[k] = vsums.get(k, 0.0) + float(v)

@@ -249,3 +249,31 @@ def test_contrast_on_z(synth_video):
     tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
     hist = tr.train(num_epochs=1)
     assert np.isfinite(hist["train_losses"][0]["contrast_loss"])
+
+
+def test_staged_bank_matches_unstaged(synth_video):
+    """Device-staged input (HBM frame bank + index-only transfer) must
+    reproduce the host-upload path exactly: same batches, same keys, same
+    math — only where the gather happens differs."""
+    import dataclasses
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=2, num_steps_to_update=2,
+                       stage_frames=True)
+    tr_s = Trainer(mcfg, tcfg, store, splits, meta.flags, seed=3)
+    tr_u = Trainer(mcfg, dataclasses.replace(tcfg, stage_frames=False),
+                   store, splits, meta.flags, seed=3)
+    assert tr_s._bank is not None and tr_u._bank is None
+
+    hs = tr_s.train(num_epochs=2)
+    hu = tr_u.train(num_epochs=2)
+    for ls, lu in zip(hs["train_losses"] + hs["val_losses"],
+                      hu["train_losses"] + hu["val_losses"]):
+        for k in ls:
+            np.testing.assert_allclose(ls[k], lu[k], rtol=1e-5, atol=1e-7,
+                                       err_msg=k)
