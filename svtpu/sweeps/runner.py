@@ -134,7 +134,22 @@ def run_sweep(variant: str, store, video_meta: VideoMeta,
     best, best_cfg, trials = None, None, []
     maximize = metric[1] == "maximize"
     for t in range(count):
-        cfg = sample(space, rng)
+        cfg = sample(space, rng)          # always advance the rng so trial
+        #                                   t's config is seed-stable
+        done = (Path(save_dir) / f"local_{t}_config.json"
+                if save_dir else None)
+        if done and done.exists():
+            # Resume an interrupted sweep: reuse the recorded summary.
+            prev = json.loads(done.read_text())
+            score = prev.get(metric[0])
+            if score is not None:
+                print(f"[trial {t}/{count}] resumed: {metric[0]}={score:.4f}",
+                      flush=True)
+                trials.append({"config": cfg, metric[0]: score})
+                if best is None or (score > best if maximize
+                                    else score < best):
+                    best, best_cfg = score, cfg
+                continue
         brief = {k: (round(v, 5) if isinstance(v, float) else v)
                  for k, v in cfg.items()}
         print(f"[trial {t}/{count}] {brief}", flush=True)

@@ -124,3 +124,44 @@ def test_local_sweep_contrastive_z(tmp_path):
     t = res["trials"][0]
     assert t["config"]["contrast_on"] == "z"
     assert np.isfinite(t["best_combined_score"])
+
+
+def test_local_sweep_resume(tmp_path, monkeypatch):
+    """A re-run over the same save_dir reuses recorded trial summaries
+    instead of retraining (interrupted-sweep resume)."""
+    from svtpu.config import VideoMeta
+    from svtpu.sweeps import runner
+
+    class ArrayStore:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.array = rng.integers(0, 255, (48, 16, 16, 3),
+                                      dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("t", flags=(16, 32), last_frame=47, grey_out=0)
+    tiny_space = dict(runner.SPACES["contrastive"])
+    tiny_space.update({"latent_dim": ("const", 6),
+                       "batch_size": ("const", 4),
+                       "num_epochs": ("const", 1)})
+    monkeypatch.setitem(runner.SPACES, "contrastive", tiny_space)
+
+    first = runner.run_sweep("contrastive", ArrayStore(), meta, count=1,
+                             seed=5, save_dir=str(tmp_path),
+                             use_wandb=False)
+
+    def boom(*a, **k):
+        raise AssertionError("resumed sweep must not retrain")
+
+    monkeypatch.setattr(runner, "train_with_config", boom)
+    second = runner.run_sweep("contrastive", ArrayStore(), meta, count=1,
+                              seed=5, save_dir=str(tmp_path),
+                              use_wandb=False)
+    assert second["best"] == first["best"]
+    assert second["best_config"] == first["best_config"]
