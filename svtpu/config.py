@@ -268,6 +268,11 @@ class TrainConfig:
     # there (the same linear convention, applied to what actually changed),
     # "none" keeps base_lr untouched.
     lr_scaling: str = "linear"
+    # Save the ``latest`` checkpoint every N epochs even when the selection
+    # metric has not improved, bounding the work a crash/resume can lose to
+    # N epochs (``latest`` is otherwise only written on metric improvement,
+    # which can stall for hundreds of epochs on plateaus). 0 disables.
+    latest_every: int = 25
 
 
 @dataclasses.dataclass(frozen=True)

@@ -579,7 +579,10 @@ class Trainer:
             if better:
                 history["best_metric"] = metric
                 history["best_epoch"] = epoch
-            if ckpt and (better or melk_requested[0]):
+            periodic = (cfg.latest_every > 0
+                        and (epoch - start_epoch) % cfg.latest_every == 0)
+            if ckpt and (better or melk_requested[0] or periodic
+                         or epoch == num_epochs - 1):
                 ckpt.save(
                     {"params": state.params, "opt_state": state.opt_state},
                     epoch=epoch, metric=metric,

@@ -131,6 +131,20 @@ def test_resume_from_latest(synth_video, tmp_path):
     assert len(hist2["train_losses"]) == 2
 
 
+def test_latest_checkpoint_tracks_plateaus(synth_video, tmp_path):
+    """``latest`` must advance even when the selection metric never
+    improves (regression: it was only written on improvement, so a resume
+    after a long plateau lost every plateau epoch)."""
+    import dataclasses
+    import json
+
+    trainer, _, _ = _setup(synth_video)
+    trainer.cfg = dataclasses.replace(trainer.cfg, latest_every=1)
+    trainer.train(num_epochs=4, save_path=str(tmp_path / "ck"))
+    latest = json.loads((tmp_path / "ck" / "latest.json").read_text())
+    assert latest["epoch"] == 3
+
+
 def test_utils_profiling_steptimer():
     from svtpu.utils.profiling import StepTimer
 
