@@ -459,7 +459,7 @@ def main(argv=None):
     sp.add_argument("--margin", type=float, default=0.2)
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)
-    sp.add_argument("--contrast-on", default="h", choices=["h", "z"])
+    sp.add_argument("--contrast-on", default="h", choices=["h", "z", "p"])
     sp.add_argument("--select-by", default=None,
                     choices=["consistency", "val_loss", "separation",
                              "combined"],

@@ -233,9 +233,13 @@ class TrainConfig:
     # ``triplet_RBVAE_train.py:99-119``, computed on z_seq probabilities).
     triplet_distance: str = "l2"
     # Representation the contrastive/triplet losses act on: "h" (reference:
-    # the continuous encoder-LSTM output) or "z" (the relaxed Binary-
+    # the continuous encoder-LSTM output), "z" (the relaxed Binary-
     # Concrete probabilities — ties the margin to the binarization boundary
-    # and counteracts the all-states-one-code collapse; DESIGN.md §8).
+    # and counteracts the all-states-one-code collapse; DESIGN.md §8), or
+    # "p" (sigmoid(h): the deterministic bit probabilities at unit
+    # temperature — same boundary coupling as "z" but immune to the
+    # gradient death "z" suffers once the sampling temperature anneals low
+    # and sigmoid((h+noise)/T) saturates; DESIGN.md §8).
     contrast_on: str = "h"
     # Model selection: "consistency" (contrastive/percep,
     # ``contrastive_RBVAE_train.py:662-673``), "val_loss" (triplet,

@@ -77,7 +77,15 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
     # The reference feeds the *binarized* z_seq to the Bernoulli KL
     # (``contrastive_RBVAE_train.py:500``) — preserved.
     kl = losses.kl_binary_concrete(out.z_seq, p=cfg.bernoulli_p)
-    rep = out.h_seq if cfg.contrast_on == "h" else out.z_seq
+    rep = {"h": out.h_seq,
+           "z": out.z_seq,
+           # Deterministic bit probabilities at unit temperature: couples
+           # the margin to the binarization boundary like "z" but keeps a
+           # live gradient after the sampling temperature anneals low
+           # (sigmoid((h+noise)/T) saturates as T→final; sigmoid(h) does
+           # not). Only meaningful for post_rnn variants, where h_seq is
+           # the logit feeding binarize.
+           "p": jax.nn.sigmoid(out.h_seq)}[cfg.contrast_on]
     h0, h1 = rep[:B], rep[B:]
 
     if cfg.objective == "contrastive":

@@ -265,6 +265,48 @@ def test_contrast_on_z(synth_video):
     assert np.isfinite(hist["train_losses"][0]["contrast_loss"])
 
 
+def test_contrast_on_p_keeps_gradient_at_low_temperature(synth_video):
+    """contrast_on="p" (sigmoid(h) at unit temperature) must carry a
+    nonzero contrastive gradient even when the sampling temperature is at
+    its floor — exactly where the "z" formulation's gradient dies
+    (sigmoid((h+noise)/T) saturates as T→0)."""
+    import jax
+    import jax.numpy as jnp
+    from svtpu.training.trainer import pair_objective
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=4, objective="contrastive",
+                       contrast_on="p", alpha=1.0, beta_kl=0.0)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    batch = jnp.asarray(next(iter(tr.train_batcher.epoch(0))))
+    state = tr.init_state()
+
+    import optax
+
+    def loss(p):
+        _, m = pair_objective(tr.model, tcfg, p, batch,
+                              jnp.float32(0.05), False,
+                              jax.random.key(0), deterministic=True)
+        return m["contrast_loss"]
+
+    gp = float(optax.global_norm(jax.grad(loss)(state.params)))
+    assert gp > 0 and np.isfinite(gp)
+
+    # The mechanism itself, on a sharpened logit (|h| >> T): the "z"
+    # representation's gradient d sigmoid(h/T)/dh vanishes, the "p"
+    # representation's d sigmoid(h)/dh does not.
+    h = jnp.float32(4.0)
+    gz_unit = float(jax.grad(lambda v: jax.nn.sigmoid(v / 0.05))(h))
+    gp_unit = float(jax.grad(jax.nn.sigmoid)(h))
+    assert gz_unit < 1e-6
+    assert gp_unit > 1e-2
+
+
 def test_staged_bank_matches_unstaged(synth_video):
     """Device-staged input (HBM frame bank + index-only transfer) must
     reproduce the host-upload path exactly: same batches, same keys, same
