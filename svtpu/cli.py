@@ -481,7 +481,7 @@ def main(argv=None):
     _add_video_args(sp)
     sp.add_argument("--variant", default="contrastive",
                     choices=["contrastive", "percep", "triplet",
-                             "contrastive_z"])
+                             "contrastive_z", "contrastive_p"])
     sp.add_argument("--frames-dir")
     sp.add_argument("--embeddings")
     sp.add_argument("--resolution", type=int, default=256)

@@ -73,13 +73,24 @@ CONTRASTIVE_Z_SPACE: Space = dict(
     select_by=("const", "combined"),
 )
 
+# Same search, margin on the unit-temperature probabilities instead
+# (``contrast_on="p"`` — keeps the contrastive gradient alive after the
+# anneal; DESIGN.md §8). Margin bounds stay valid: p-space euclidean
+# distance is bounded by sqrt(latent_dim) ≥ 5 for every swept latent.
+CONTRASTIVE_P_SPACE: Space = dict(
+    CONTRASTIVE_Z_SPACE,
+    contrast_on=("const", "p"),
+)
+
 SPACES = {"contrastive": CONTRASTIVE_SPACE, "percep": PERCEP_SPACE,
-          "triplet": TRIPLET_SPACE, "contrastive_z": CONTRASTIVE_Z_SPACE}
+          "triplet": TRIPLET_SPACE, "contrastive_z": CONTRASTIVE_Z_SPACE,
+          "contrastive_p": CONTRASTIVE_P_SPACE}
 
 METRIC = {"contrastive": ("best_consistency_score", "maximize"),
           "percep": ("best_consistency_score", "maximize"),
           "triplet": ("best_val_loss", "minimize"),
-          "contrastive_z": ("best_combined_score", "maximize")}
+          "contrastive_z": ("best_combined_score", "maximize"),
+          "contrastive_p": ("best_combined_score", "maximize")}
 
 
 def sample(space: Space, rng: np.random.Generator) -> Dict[str, Any]:

@@ -41,6 +41,16 @@ def test_contrastive_z_space():
     assert "contrastive_z" in SPACES
 
 
+def test_contrastive_p_space():
+    from svtpu.sweeps.spaces import CONTRASTIVE_P_SPACE
+
+    c = sample(CONTRASTIVE_P_SPACE, np.random.default_rng(3))
+    assert c["contrast_on"] == "p"
+    assert c["select_by"] == "combined"
+    assert METRIC["contrastive_p"] == ("best_combined_score", "maximize")
+    assert "contrastive_p" in SPACES
+
+
 def test_wandb_config_shape():
     cfg = to_wandb_config(CONTRASTIVE_SPACE, METRIC["contrastive"])
     assert cfg["method"] == "bayes"
