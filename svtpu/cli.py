@@ -367,17 +367,33 @@ def cmd_eval_tradeoff(args):
     """Joint (consistency, separation) table/chart over every checkpoint a
     sweep saved — the published trade-off curve for ``contrast_on="z"``
     (svtpu addition; DESIGN.md §8)."""
-    from svtpu.evaluation.tradeoff import (evaluate_sweep_dir, pareto_front,
+    from svtpu.evaluation.tradeoff import (evaluate_standalone,
+                                           evaluate_sweep_dir, pareto_front,
                                            plot_tradeoff, write_csv)
 
     meta = _video_meta(args)
     store, splits = _eval_store(args, meta)
-    points = evaluate_sweep_dir(args.sweep_dir, store, splits, meta.flags,
-                                variant=args.variant,
-                                temperature=args.temperature,
-                                split=args.split)
+    points = []
+    if args.sweep_dir:
+        points += evaluate_sweep_dir(args.sweep_dir, store, splits,
+                                     meta.flags, variant=args.variant,
+                                     temperature=args.temperature,
+                                     split=args.split)
+    for spec in args.extra or []:
+        # NAME:CKPT_DIR:LATENT[:WHICH] — a standalone trainer checkpoint.
+        parts = spec.split(":")
+        if len(parts) not in (3, 4):
+            raise SystemExit(f"--extra wants NAME:DIR:LATENT[:WHICH], "
+                             f"got {spec!r}")
+        name, ckpt_dir, latent = parts[:3]
+        which = parts[3] if len(parts) == 4 else "best"
+        points.append(evaluate_standalone(
+            name, ckpt_dir, store, splits, meta.flags,
+            variant=args.variant, latent_dim=int(latent), which=which,
+            temperature=args.temperature, split=args.split))
     if not points:
-        raise SystemExit(f"no evaluated checkpoints in {args.sweep_dir}")
+        raise SystemExit("no evaluated checkpoints "
+                         "(give --sweep-dir and/or --extra)")
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     write_csv(points, out / "tradeoff.csv")
@@ -528,7 +544,9 @@ def main(argv=None):
     _add_video_args(sp)
     sp.add_argument("--frames-dir")
     sp.add_argument("--embeddings")
-    sp.add_argument("--sweep-dir", required=True)
+    sp.add_argument("--sweep-dir", default=None)
+    sp.add_argument("--extra", action="append", metavar="NAME:DIR:LATENT[:WHICH]",
+                    help="additional standalone trainer checkpoints to plot")
     sp.add_argument("--variant", default="contrastive")
     sp.add_argument("--resolution", type=int, default=256)
     sp.add_argument("--test-pct", type=float, default=0.1)

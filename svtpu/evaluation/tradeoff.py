@@ -85,6 +85,35 @@ def evaluate_sweep_dir(sweep_dir: str | Path, store, splits, flags,
     return points
 
 
+def evaluate_standalone(name: str, ckpt_dir: str | Path, store, splits,
+                        flags, variant: str = "contrastive",
+                        latent_dim: int = 25, noise_ratio: float = 0.1,
+                        which: str = "best", temperature: float = 0.2,
+                        split: str = "val") -> TradeoffPoint:
+    """One trade-off point from a standalone trainer checkpoint dir
+    (``svtpu.cli train --save-path``), so hand-launched runs plot on the
+    same chart as sweep trials."""
+    from svtpu.config import rbvae_variant
+    from svtpu.evaluation.common import RBVAEBundle
+
+    idx = [i for s in splits.of(split) for i in s]
+    frames = store.gather(np.asarray(idx))
+    mcfg = rbvae_variant(variant, latent_dim=latent_dim,
+                         input_hw=tuple(store.item_shape[:2]),
+                         in_channels=store.item_shape[2],
+                         out_channels=store.item_shape[2])
+    bundle = RBVAEBundle.from_checkpoint(str(ckpt_dir), mcfg, which=which,
+                                         name=name)
+    w, sep, wd = evaluate_checkpoint(bundle, frames, idx, flags,
+                                     temperature=temperature,
+                                     noise_ratio=noise_ratio)
+    meta_file = Path(ckpt_dir) / f"{which}.json"
+    config = (json.loads(meta_file.read_text())
+              if meta_file.exists() else {})
+    config["latent_dim"] = latent_dim
+    return TradeoffPoint(name, w, sep, wd, config)
+
+
 def write_csv(points: Sequence[TradeoffPoint], path: str | Path):
     keys = sorted({k for p in points for k in p.config})
     lines = ["run,consistency,det_consistency,separation_bits,"

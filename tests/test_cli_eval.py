@@ -121,6 +121,19 @@ def test_eval_tradeoff(video_dir, tmp_path):
         "run,consistency,det_consistency,separation_bits")
     assert (out / "tradeoff.png").exists()
 
+    # Standalone checkpoints join the same chart via --extra (with or
+    # without a sweep dir).
+    solo = _save_ckpt(tmp_path, "solo", seed=20)
+    out2 = tmp_path / "out_t2"
+    cli.main(["eval-tradeoff", *VIDEO,
+              "--frames-dir", str(video_dir),
+              "--sweep-dir", str(sweep),
+              "--extra", f"deep_run:{solo}:6:best",
+              "--out-dir", str(out2)])
+    csv2 = (out2 / "tradeoff.csv").read_text()
+    assert "deep_run," in csv2
+    assert len(csv2.strip().splitlines()) == 4
+
 
 def test_pareto_front():
     from svtpu.evaluation.tradeoff import TradeoffPoint, pareto_front
