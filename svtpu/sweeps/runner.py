@@ -35,7 +35,8 @@ def train_with_config(config: Dict, variant: str, store,
     in_ch = store.item_shape[2]
     # Sweep names may be space variants of a model family (e.g.
     # "contrastive_z" sweeps the contrastive model with contrast_on="z").
-    model_variant = {"contrastive_z": "contrastive"}.get(variant, variant)
+    model_variant = {"contrastive_z": "contrastive",
+                     "contrastive_p": "contrastive"}.get(variant, variant)
     mcfg = rbvae_variant(model_variant, latent_dim=int(config["latent_dim"]),
                          input_hw=input_hw, in_channels=in_ch,
                          out_channels=in_ch, compute_dtype=compute_dtype)
