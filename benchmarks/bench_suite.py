@@ -64,6 +64,50 @@ def bench_rbvae_encode():
                           "frames_per_sec": round(batch / dt, 1)}))
 
 
+def bench_conv0_ab(batch=512, reps=24):
+    """A/B: plain vs space-to-depth first conv (``RBVAEConfig.conv0_s2d``)
+    on the full headline encode path. Identical math (parity test in
+    tests/test_rbvae.py); this measures whether the 9C->16C contraction-
+    axis growth pays on real hardware."""
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.image import to_float01
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                      dtype=np.uint8))
+    out = {}
+    for tag, s2d in (("plain", False), ("s2d", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50,
+                            compute_dtype="bfloat16", conv0_s2d=s2d)
+        model = Seq2SeqBinaryVAE(cfg)
+        params = model.init({"params": jax.random.key(0)},
+                            jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
+                            1.0, False, deterministic=True)
+
+        @jax.jit
+        def enc(p, f, k, model=model):
+            return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                               method=Seq2SeqBinaryVAE.encode,
+                               deterministic=False,
+                               bc_rng=k).astype(jnp.uint8)
+
+        for i in range(8):
+            np.asarray(enc(params, frames, jax.random.key(100 + i)))
+        trials = []
+        for t in range(5):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                o = enc(params, frames, jax.random.key(t * reps + i))
+            np.asarray(o)
+            trials.append(batch * reps / (time.perf_counter() - t0))
+        out[tag] = float(np.median(trials))
+        print(json.dumps({"bench": "conv0_ab", "path": tag,
+                          "frames_per_sec": round(out[tag], 1)}))
+    print(json.dumps({"bench": "conv0_ab", "s2d_over_plain":
+                      round(out["s2d"] / out["plain"], 3)}))
+
+
 def bench_sampler_ab():
     """A/B: XLA vs fused-Pallas Binary-Concrete sampler on the full encode
     path (VERDICT r1 item 4), plus the sampler op in isolation at a large
@@ -446,6 +490,7 @@ if __name__ == "__main__":
         "attention": bench_flash_attention,
         "attention_bwd": bench_attention_backward,
         "breakdown": bench_encode_breakdown,
+        "conv0_ab": bench_conv0_ab,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():

@@ -163,6 +163,11 @@ class RBVAEConfig:
     # the XLA op (it needs the soft VJP). A/B'd in benchmarks/bench_suite.py;
     # see DESIGN.md §4 for the measured delta.
     pallas_sampler: bool = False
+    # Compute the first (thin, k3/s2/p1) conv via a 2x2 space-to-depth
+    # transform: mathematically identical, but the MXU contraction axis
+    # grows 9*C_in -> 16*C_in (the classic TPU conv0 trick). Same
+    # parameters either way; A/B'd in benchmarks/bench_suite.py.
+    conv0_s2d: bool = False
 
     @property
     def encoded_hw(self) -> Tuple[int, int]:

@@ -56,7 +56,9 @@ class ConvEncoder(nn.Module):
         n = len(c.conv_features)
         for i, feats in enumerate(c.conv_features):
             h = Conv2dTorch(feats, c.conv_kernel, c.conv_stride,
-                            c.conv_padding, dtype=dtype, name=f"conv_{i}")(h)
+                            c.conv_padding, dtype=dtype,
+                            s2d=(i == 0 and c.conv0_s2d),
+                            name=f"conv_{i}")(h)
             # The reference applies ReLU(+Dropout) between convs but not after
             # the last one (``contrastive_RBVAE_model.py:49-58``).
             if i < n - 1:

@@ -110,3 +110,43 @@ def test_remat_variant_matches_nonremat():
     np.testing.assert_allclose(np.asarray(out.x_recon),
                                np.asarray(out_r.x_recon), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_conv0_s2d_matches_plain_conv():
+    """conv0_s2d=True (space-to-depth first conv) must be numerically
+    identical to the plain k3/s2/p1 conv — same params, same math, only
+    the MXU-facing layout differs (ops/conv.py::_conv_s2d_k3s2p1)."""
+    from svtpu.ops.conv import Conv2dTorch
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    plain = Conv2dTorch(16, 3, 2, 1)
+    s2d = Conv2dTorch(16, 3, 2, 1, s2d=True)
+    p = plain.init(jax.random.key(1), x)
+    y0 = plain.apply(p, x)
+    y1 = s2d.apply(p, x)
+    assert y1.shape == y0.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+    # Gradients agree too (the transform is linear in both x and w).
+    g0 = jax.grad(lambda v: jnp.sum(plain.apply(v, x) ** 2))(p)
+    g1 = jax.grad(lambda v: jnp.sum(s2d.apply(v, x) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    # Whole-model wiring: identical encode codes either way.
+    cfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    cfg_s = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32),
+                          conv0_s2d=True)
+    xs = jax.random.normal(jax.random.key(2), (2, 3, 32, 32, 3))
+    m, ms = Seq2SeqBinaryVAE(cfg), Seq2SeqBinaryVAE(cfg_s)
+    par = m.init({"params": jax.random.key(3)}, xs, 1.0, False,
+                 deterministic=True)
+    z0 = m.apply(par, xs, 0.5, True, method=Seq2SeqBinaryVAE.encode,
+                 deterministic=True)
+    z1 = ms.apply(par, xs, 0.5, True, method=Seq2SeqBinaryVAE.encode,
+                  deterministic=True)
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
