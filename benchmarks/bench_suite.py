@@ -227,6 +227,62 @@ def bench_rbvae_train_step():
                       "step_ms": round(dt * 1e3, 2)}))
 
 
+def bench_convopt_train_ab():
+    """A/B the MXU conv transforms (conv0_s2d encoder + deconv_d2s
+    decoder) on the full jitted train step (fwd+bwd+Adam)."""
+    from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
+    from svtpu.data.segments import split_segments
+    from svtpu.training.trainer import Trainer
+
+    class Store:
+        def __init__(self):
+            r = np.random.default_rng(0)
+            self.array = r.integers(0, 255, (480, 256, 256, 3),
+                                    dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("b", flags=(74, 206, 282, 389), last_frame=479,
+                     grey_out=10)
+    splits = split_segments(meta.state_segments())
+    out = {}
+    for tag, kw in (("plain", {}),
+                    ("mxu_opt", {"conv0_s2d": True, "deconv_d2s": True})):
+        mcfg = rbvae_variant("contrastive", latent_dim=50,
+                             compute_dtype="bfloat16", **kw)
+        tr = Trainer(mcfg, TrainConfig(batch_size=32), Store(), splits,
+                     meta.flags)
+        state = tr.init_state()
+        step = tr._make_train_step()
+        batch = next(iter(tr.train_batcher.epoch(0)))
+        b = jax.device_put(jnp.asarray(batch), tr._bsh)
+        key = jax.random.key(0)
+        for _ in range(8):
+            state, m = step(state, b, key)
+        float(m["total_loss"])
+        trials = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                state, m = step(state, b, key)
+            float(m["total_loss"])
+            trials.append((time.perf_counter() - t0) / 4)
+        dt = float(np.median(trials))
+        frames = int(np.prod(batch.shape[:3]))
+        out[tag] = frames / dt
+        print(json.dumps({"bench": "convopt_train_ab", "path": tag,
+                          "batch_frames": frames,
+                          "frames_per_sec": round(out[tag], 1),
+                          "step_ms": round(dt * 1e3, 2)}))
+    print(json.dumps({"bench": "convopt_train_ab", "opt_over_plain":
+                      round(out["mxu_opt"] / out["plain"], 3)}))
+
+
 def bench_sd_encoder():
     from svtpu.config import PerceptualConfig
     from svtpu.models.autoencoder_kl import AutoencoderKL
@@ -491,6 +547,7 @@ if __name__ == "__main__":
         "attention_bwd": bench_attention_backward,
         "breakdown": bench_encode_breakdown,
         "conv0_ab": bench_conv0_ab,
+        "convopt_train_ab": bench_convopt_train_ab,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():

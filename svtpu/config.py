@@ -168,6 +168,11 @@ class RBVAEConfig:
     # grows 9*C_in -> 16*C_in (the classic TPU conv0 trick). Same
     # parameters either way; A/B'd in benchmarks/bench_suite.py.
     conv0_s2d: bool = False
+    # Compute the decoder's k3/s2/p1/op1 transposed convs as k2/s1 convs +
+    # 2x2 depth-to-space (sub-pixel): identical math, no dilated-zero
+    # arithmetic, 4x-wider MXU output-lane axis. Same parameters either
+    # way; A/B'd in benchmarks/bench_suite.py.
+    deconv_d2s: bool = False
 
     @property
     def encoded_hw(self) -> Tuple[int, int]:

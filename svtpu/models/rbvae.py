@@ -89,6 +89,7 @@ class ConvDecoder(nn.Module):
         for i, f in enumerate(stages):
             h = ConvTranspose2dTorch(f, c.conv_kernel, c.conv_stride,
                                      c.conv_padding, op, dtype=dtype,
+                                     d2s=c.deconv_d2s,
                                      name=f"deconv_{i}")(h)
             if i < n - 1:
                 h = jax.nn.relu(h)

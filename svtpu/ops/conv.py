@@ -111,6 +111,7 @@ class ConvTranspose2dTorch(nn.Module):
     padding: int = 1
     output_padding: int = 1
     dtype: jnp.dtype = jnp.float32
+    d2s: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -121,13 +122,45 @@ class ConvTranspose2dTorch(nn.Module):
         w = self.param("kernel", init, (k, k, in_ch, self.features),
                        jnp.float32)
         b = self.param("bias", init, (self.features,), jnp.float32)
-        lo = k - 1 - p
-        hi = k - 1 - p + op
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w.astype(self.dtype), (1, 1),
-            ((lo, hi), (lo, hi)), lhs_dilation=(s, s), dimension_numbers=_DN,
-            preferred_element_type=self.dtype)
+        xd, wd = x.astype(self.dtype), w.astype(self.dtype)
+        if self.d2s and (k, s, p, op) == (3, 2, 1, 1):
+            y = _deconv_d2s_k3s2p1(xd, wd, self.dtype)
+        else:
+            lo = k - 1 - p
+            hi = k - 1 - p + op
+            y = jax.lax.conv_general_dilated(
+                xd, wd, (1, 1), ((lo, hi), (lo, hi)), lhs_dilation=(s, s),
+                dimension_numbers=_DN, preferred_element_type=self.dtype)
         return y + b.astype(self.dtype)
+
+
+def _deconv_d2s_k3s2p1(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """k3/s2/p1/op1 transposed conv as a k2/s1 conv + depth-to-space.
+
+    The dilated-forward formulation computes ``y[m] = Σ_dy w[dy]·d[m+dy-1]``
+    over the 2×-dilated input ``d`` (``d[2t] = x[t]``), so per axis the even
+    output phase touches one real tap (``w[1]``) and the odd phase two
+    (``w[0]``/``w[2]``): with ``D[a][phase] = 1-phase+2a`` (index 3 = the
+    zero-padded row), every phase is a k2 sub-kernel over the *undilated*
+    input. One k2/s1 conv to ``4·O`` channels + a 2×2 depth-to-space then
+    produces the identical output with no dilated-zero arithmetic and a
+    4×-wider MXU output-lane axis (the sub-pixel / "pixel-shuffle" trick).
+    """
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))       # [4,4,C,O]
+    D = jnp.array([[1, 0], [3, 2]])                          # [ay, py] -> dy
+    w2 = wp[D]                                               # [ay,py,4,C,O]
+    w2 = w2[:, :, D]                                         # [ay,py,ax,px,C,O]
+    w2 = (w2.transpose(0, 2, 4, 1, 3, 5)                     # [ay,ax,C,py,px,O]
+          .reshape(2, 2, C, 4 * O))
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, w2, (1, 1), ((0, 0), (0, 0)), dimension_numbers=_DN,
+        preferred_element_type=dtype)                        # [B,H,W,4O]
+    y = (y.reshape(B, H, W, 2, 2, O).transpose(0, 1, 3, 2, 4, 5)
+         .reshape(B, 2 * H, 2 * W, O))
+    return y
 
 
 class Dense(nn.Module):

@@ -150,3 +150,40 @@ def test_conv0_s2d_matches_plain_conv():
     z1 = ms.apply(par, xs, 0.5, True, method=Seq2SeqBinaryVAE.encode,
                   deterministic=True)
     np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+
+def test_deconv_d2s_matches_plain_transposed_conv():
+    """deconv_d2s (sub-pixel transposed conv) must be numerically identical
+    to the dilated-forward formulation — same params, same math
+    (ops/conv.py::_deconv_d2s_k3s2p1)."""
+    from svtpu.ops.conv import ConvTranspose2dTorch
+
+    x = jax.random.normal(jax.random.key(0), (2, 9, 13, 5))
+    plain = ConvTranspose2dTorch(7, 3, 2, 1, 1)
+    d2s = ConvTranspose2dTorch(7, 3, 2, 1, 1, d2s=True)
+    p = plain.init(jax.random.key(1), x)
+    y0 = plain.apply(p, x)
+    y1 = d2s.apply(p, x)
+    assert y1.shape == y0.shape == (2, 18, 26, 7)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+    g0 = jax.grad(lambda v: jnp.sum(plain.apply(v, x) ** 2))(p)
+    g1 = jax.grad(lambda v: jnp.sum(d2s.apply(v, x) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    # Whole-model wiring: identical reconstruction either way.
+    cfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    cfg_d = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32),
+                          deconv_d2s=True)
+    xs = jax.random.normal(jax.random.key(2), (2, 3, 32, 32, 3))
+    m, md = Seq2SeqBinaryVAE(cfg), Seq2SeqBinaryVAE(cfg_d)
+    par = m.init({"params": jax.random.key(3)}, xs, 1.0, False,
+                 deterministic=True)
+    r0 = m.apply(par, xs, 0.5, False, deterministic=True).x_recon
+    r1 = md.apply(par, xs, 0.5, False, deterministic=True).x_recon
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1),
+                               rtol=1e-5, atol=1e-6)
