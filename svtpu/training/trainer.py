@@ -406,16 +406,21 @@ class Trainer:
         return modal_consistency(codes, labels, num_states)
 
     def state_separation(self, params, temperature: float,
-                         seed: int = 0) -> float:
-        """Mean adjacent-state Hamming distance of *deterministic* modal
-        codes (svtpu addition: the reference's consistency metric only
-        measures within-state agreement and is blind to all states
-        collapsing onto one code — this metric exposes that)."""
+                         seed: int = 0):
+        """``(separation, det_consistency)`` from one deterministic encode
+        of the validation frames.
+
+        Separation = mean adjacent-state Hamming distance of deterministic
+        modal codes (svtpu addition: the reference's consistency metric
+        only measures within-state agreement and is blind to all states
+        collapsing onto one code). det_consistency = the same modal-match
+        consistency but noise-off — its gap to the stochastic score
+        measures how close the logits sit to the binarization boundary."""
         from svtpu.evaluation.hamming import adjacent_hamming, modal_codes
 
         val_idx = [i for s in self.splits.val for i in s]
         if not val_idx:
-            return 0.0
+            return 0.0, 0.0
         codes = self._val_codes(params, val_idx, temperature, noise=False,
                                 seed=seed)
         if self.labels_by_index is not None:
@@ -425,8 +430,10 @@ class Trainer:
             labels = np.asarray([assign_label(i, self.flags)
                                  for i in val_idx])
             num_states = len(self.flags) + 1
+        det_w, _ = modal_consistency(codes, labels, num_states)
         ham = adjacent_hamming(modal_codes(codes, labels, num_states))
-        return float(ham.mean()) if len(ham) else 0.0
+        sep = float(ham.mean()) if len(ham) else 0.0
+        return sep, float(det_w)
 
     # ------------------------------------------------------------ main loop
 
@@ -567,8 +574,10 @@ class Trainer:
             score, per_state = self.state_consistency(
                 state.params, cfg.final_temperature, seed=epoch)
             val_losses["consistency_score"] = float(score)
-            sep = self.state_separation(state.params, cfg.final_temperature)
+            sep, det_w = self.state_separation(state.params,
+                                               cfg.final_temperature)
             val_losses["state_separation"] = sep
+            val_losses["det_consistency_score"] = det_w
             val_losses["combined_score"] = float(score) * min(
                 sep / cfg.sep_target, 1.0)
             for i, p in enumerate(per_state):
@@ -607,6 +616,7 @@ class Trainer:
                 print(f"[epoch {epoch}] "
                       f"train {train_losses.get('total_loss', 0):.4f} "
                       f"cons {val_losses['consistency_score']:.3f} "
+                      f"det {val_losses['det_consistency_score']:.3f} "
                       f"sep {val_losses['state_separation']:.2f} "
                       f"best {history['best_metric']:.4f}"
                       f"@{history['best_epoch']}", flush=True)
