@@ -127,6 +127,7 @@ def cmd_train(args):
         bernoulli_p=args.bernoulli_p, noise_ratio=args.noise_ratio,
         margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
         contrast_on=args.contrast_on,
+        contextfree_contrast=args.contextfree_contrast,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
         select_by=(args.select_by or
@@ -476,6 +477,9 @@ def main(argv=None):
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)
     sp.add_argument("--contrast-on", default="h", choices=["h", "z", "p"])
+    sp.add_argument("--contextfree-contrast", action="store_true",
+                    help="also apply the contrastive margins to T=1 "
+                         "encodes (what the eval protocol measures)")
     sp.add_argument("--select-by", default=None,
                     choices=["consistency", "val_loss", "separation",
                              "combined"],

@@ -251,6 +251,13 @@ class TrainConfig:
     # gradient death "z" suffers once the sampling temperature anneals low
     # and sigmoid((h+noise)/T) saturates; DESIGN.md §8).
     contrast_on: str = "h"
+    # Also apply the contrastive margins to context-free (T=1) encodes of
+    # the same frames, averaged 50/50 with the in-context terms. The eval
+    # protocol encodes single frames, but the reference's loss only
+    # constrains in-context codes — the two drift apart late in training
+    # (in-context separation holds while single-frame codes merge;
+    # RESULTS.md round 2). Costs one extra encoder pass per step.
+    contextfree_contrast: bool = False
     # Model selection: "consistency" (contrastive/percep,
     # ``contrastive_RBVAE_train.py:662-673``), "val_loss" (triplet,
     # ``triplet_RBVAE_train.py:597-608``), or the svtpu additions

@@ -96,6 +96,28 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
         dis = losses.contrastive(h0[:, :-1], h0[:, 1:], 1.0,
                                  margin=cfg.margin)
         aux = sim + dis
+        if cfg.contextfree_contrast:
+            # The eval protocol encodes each frame as a T=1 sequence, but
+            # the losses above act on in-context (T=S) codes — the two
+            # representations drift apart late in training (in-context
+            # separation holds while single-frame codes merge). Apply the
+            # same margins to a context-free encode of the identical
+            # frames so the hinge constrains what the metric measures.
+            xf = xm.reshape((2 * B * S, 1) + xm.shape[2:])
+            outf = model.apply(
+                params, xf, temperature, hard, cfg.noise_ratio,
+                deterministic=deterministic,
+                rngs=(None if deterministic
+                      else {"dropout": k_drop, "binary": k_bin}),
+                bc_rng=jax.random.fold_in(k_bin, 1))
+            repf = {"h": outf.h_seq, "z": outf.z_seq,
+                    "p": jax.nn.sigmoid(outf.h_seq)}[cfg.contrast_on]
+            repf = repf.reshape(2, B, S, repf.shape[-1])
+            f0, f1 = repf[0], repf[1]
+            aux = 0.5 * aux + 0.5 * (
+                losses.contrastive(f0, f1, 0.0, margin=cfg.margin)
+                + losses.contrastive(f0[:, :-1], f0[:, 1:], 1.0,
+                                     margin=cfg.margin))
         aux_name = "contrast_loss"
     elif cfg.objective == "triplet":
         # anchor = state t (member 0), positive = state t (member 1),

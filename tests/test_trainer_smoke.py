@@ -333,3 +333,29 @@ def test_staged_bank_matches_unstaged(synth_video):
         for k in ls:
             np.testing.assert_allclose(ls[k], lu[k], rtol=1e-5, atol=1e-7,
                                        err_msg=k)
+
+
+def test_contextfree_contrast_trains(synth_video):
+    """contextfree_contrast adds T=1-encode margins to the pair objective
+    (the representation the eval protocol actually measures)."""
+    import dataclasses
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, objective="contrastive",
+                       contrast_on="p", contextfree_contrast=True)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train(num_epochs=1)
+    cf = hist["train_losses"][0]["contrast_loss"]
+    assert np.isfinite(cf)
+
+    # The context-free term changes the loss value vs the plain objective.
+    tr2 = Trainer(mcfg, dataclasses.replace(tcfg,
+                                            contextfree_contrast=False),
+                  store, splits, meta.flags, seed=0)
+    hist2 = tr2.train(num_epochs=1)
+    assert not np.isclose(cf, hist2["train_losses"][0]["contrast_loss"])
