@@ -163,6 +163,13 @@ class RBVAEConfig:
     # the XLA op (it needs the soft VJP). A/B'd in benchmarks/bench_suite.py;
     # see DESIGN.md §4 for the measured delta.
     pallas_sampler: bool = False
+    # Use the fused Pallas conv1->conv2 trunk on the inference ``encode``
+    # path (ops/conv_trunk_pallas.py): the whole stride-2 64-channel
+    # trunk runs from VMEM, instead of XLA's lowering that round-trips
+    # ~1 GB/batch of activations through HBM at 16% of bf16 peak
+    # (RESULTS.md round-2 breakdown). Contrastive/triplet pixel geometry
+    # only; training always uses the XLA path (it needs the VJP).
+    pallas_trunk: bool = False
     # Compute the first (thin, k3/s2/p1) conv via a 2x2 space-to-depth
     # transform: mathematically identical, but the MXU contraction axis
     # grows 9*C_in -> 16*C_in (the classic TPU conv0 trick). Same

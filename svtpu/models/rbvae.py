@@ -32,7 +32,9 @@ from flax import linen as nn
 
 from svtpu.config import RBVAEConfig
 from svtpu.ops.binarize import binary_concrete
-from svtpu.ops.conv import Conv2dTorch, ConvTranspose2dTorch, Dense
+from svtpu.ops.conv import (ConvParams, ConvTranspose2dTorch, Dense,
+                            conv2d_torch_apply)
+from svtpu.ops.conv_trunk_pallas import fused_trunk23
 from svtpu.ops.lstm import LSTM
 
 
@@ -49,22 +51,45 @@ class ConvEncoder(nn.Module):
     cfg: RBVAEConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 trunk: str = "xla") -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         h = x.astype(dtype)
         n = len(c.conv_features)
+        # Parameters are declared via ConvParams holders (identical tree
+        # and init to Conv2dTorch children) so the same weights can be
+        # routed through either the generic XLA convs or the fused Pallas
+        # trunk (ops/conv_trunk_pallas.py).
+        wb, in_ch = [], h.shape[-1]
         for i, feats in enumerate(c.conv_features):
-            h = Conv2dTorch(feats, c.conv_kernel, c.conv_stride,
-                            c.conv_padding, dtype=dtype,
-                            s2d=(i == 0 and c.conv0_s2d),
-                            name=f"conv_{i}")(h)
-            # The reference applies ReLU(+Dropout) between convs but not after
-            # the last one (``contrastive_RBVAE_model.py:49-58``).
-            if i < n - 1:
-                h = jax.nn.relu(h)
-                if c.conv_dropout > 0:
-                    h = nn.Dropout(c.conv_dropout, deterministic=deterministic)(h)
+            wb.append(ConvParams(feats, in_ch, c.conv_kernel,
+                                 name=f"conv_{i}")())
+            in_ch = feats
+        if trunk == "pallas":
+            assert deterministic, "pallas trunk is inference-only"
+            assert (n == 3 and c.conv_features == (64, 64, 64)
+                    and (c.conv_kernel, c.conv_stride, c.conv_padding)
+                    == (3, 2, 1) and h.shape[1:3] == (256, 256)), (
+                "pallas_trunk supports only the contrastive/triplet "
+                "pixel geometry")
+            h = conv2d_torch_apply(h, *wb[0], c.conv_stride,
+                                   c.conv_padding, dtype)
+            h = fused_trunk23(h, wb[1][0], wb[1][1], wb[2][0], wb[2][1],
+                              interpret=jax.default_backend() != "tpu")
+        else:
+            for i, (w, b) in enumerate(wb):
+                h = conv2d_torch_apply(h, w, b, c.conv_stride,
+                                       c.conv_padding, dtype,
+                                       s2d=(i == 0 and c.conv0_s2d))
+                # The reference applies ReLU(+Dropout) between convs but
+                # not after the last one
+                # (``contrastive_RBVAE_model.py:49-58``).
+                if i < n - 1:
+                    h = jax.nn.relu(h)
+                    if c.conv_dropout > 0:
+                        h = nn.Dropout(c.conv_dropout,
+                                       deterministic=deterministic)(h)
         h = h.reshape(h.shape[0], -1)
         return Dense(c.latent_dim, dtype=dtype, name="fc")(h)
 
@@ -112,7 +137,7 @@ class Seq2SeqBinaryVAE(nn.Module):
         if c.remat:
             # Recompute conv-trunk activations in the backward pass instead
             # of holding them in HBM (jax.checkpoint via nn.remat).
-            enc_cls = nn.remat(ConvEncoder, static_argnums=(2,))
+            enc_cls = nn.remat(ConvEncoder, static_argnums=(2, 3))
             dec_cls = nn.remat(ConvDecoder, static_argnums=(2,))
         self.encoder_cnn = enc_cls(c, name="encoder_cnn")
         self.decoder_cnn = dec_cls(c, name="decoder_cnn")
@@ -122,11 +147,14 @@ class Seq2SeqBinaryVAE(nn.Module):
                                 name="decoder_rnn")
 
     def _encode_to_latent(self, x, temperature, hard, noise_scale, key,
-                          deterministic, sampler: str = "xla"):
+                          deterministic, sampler: str = "xla",
+                          trunk: str = "xla"):
         """Shared front half: conv trunk + encoder LSTM + binarization.
 
         ``sampler``: "xla" (default; differentiable) or "pallas" (fused
         on-chip-PRNG kernel, inference only — no VJP).
+        ``trunk``: "xla" or "pallas" (fused VMEM-resident conv1→conv2
+        kernel, inference only — contrastive/triplet pixel geometry).
         """
         c = self.cfg
 
@@ -144,7 +172,7 @@ class Seq2SeqBinaryVAE(nn.Module):
 
         B, T = x.shape[:2]
         flat = x.reshape((B * T,) + x.shape[2:])
-        logits = self.encoder_cnn(flat, deterministic)
+        logits = self.encoder_cnn(flat, deterministic, trunk)
         logits = logits.reshape(B, T, c.latent_dim)
 
         if c.binarize == "pre_rnn":
@@ -205,5 +233,6 @@ class Seq2SeqBinaryVAE(nn.Module):
             bc_rng = self.make_rng("binary")
         _, _, z_seq = self._encode_to_latent(
             x, temperature, hard, noise_scale, bc_rng, True,
-            sampler="pallas" if c.pallas_sampler else "xla")
+            sampler="pallas" if c.pallas_sampler else "xla",
+            trunk="pallas" if c.pallas_trunk else "xla")
         return z_seq

@@ -31,6 +31,41 @@ def torch_uniform(fan_in: int):
     return init
 
 
+def conv2d_torch_apply(x: jax.Array, w: jax.Array, b: jax.Array,
+                       stride: int, padding: int, dtype,
+                       s2d: bool = False) -> jax.Array:
+    """Functional ``nn.Conv2d(k, s, p)``-geometry conv (NHWC, HWIO)."""
+    k, s, p = w.shape[0], stride, padding
+    xd, wd = x.astype(dtype), w.astype(dtype)
+    if s2d and (k, s, p) == (3, 2, 1) and x.shape[1] % 2 == 0 \
+            and x.shape[2] % 2 == 0:
+        y = _conv_s2d_k3s2p1(xd, wd, dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xd, wd, (s, s), ((p, p), (p, p)), dimension_numbers=_DN,
+            preferred_element_type=dtype)
+    return y + b.astype(dtype)
+
+
+class ConvParams(nn.Module):
+    """Parameter holder with ``Conv2dTorch``'s exact tree and init —
+    lets a caller route the same weights through alternative compute
+    paths (e.g. the fused Pallas trunk) without changing checkpoints."""
+
+    features: int
+    in_channels: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel
+        init = torch_uniform(self.in_channels * k * k)
+        w = self.param("kernel", init,
+                       (k, k, self.in_channels, self.features), jnp.float32)
+        b = self.param("bias", init, (self.features,), jnp.float32)
+        return w, b
+
+
 class Conv2dTorch(nn.Module):
     """Strided conv, geometry-identical to ``nn.Conv2d(k, s, p)``.
 
@@ -38,10 +73,8 @@ class Conv2dTorch(nn.Module):
     2×2 space-to-depth transform: the k3 kernel is zero-padded to k4 and
     folded into a k2/s1 conv over 4×-deeper channels. Same parameters,
     same math — but the MXU contraction axis grows from ``9·C_in`` to
-    ``16·C_in``, which matters for the thin first layer of an image trunk
-    (C_in=3: K=27→48 raises the 128-lane systolic-array fill from 21% to
-    38%). The standard TPU "conv0 space-to-depth" trick, applied at run
-    time so checkpoints stay interchangeable.
+    ``16·C_in``. Measured on v5e (`bench_suite.py conv0_ab`): XLA's own
+    internal conv0 transform is faster, so this stays opt-in.
     """
 
     features: int
@@ -54,20 +87,13 @@ class Conv2dTorch(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        k, s, p = self.kernel, self.stride, self.padding
+        k = self.kernel
         init = torch_uniform(in_ch * k * k)
         w = self.param("kernel", init, (k, k, in_ch, self.features),
                        jnp.float32)
         b = self.param("bias", init, (self.features,), jnp.float32)
-        xd, wd = x.astype(self.dtype), w.astype(self.dtype)
-        if self.s2d and (k, s, p) == (3, 2, 1) and x.shape[1] % 2 == 0 \
-                and x.shape[2] % 2 == 0:
-            y = _conv_s2d_k3s2p1(xd, wd, self.dtype)
-        else:
-            y = jax.lax.conv_general_dilated(
-                xd, wd, (s, s), ((p, p), (p, p)), dimension_numbers=_DN,
-                preferred_element_type=self.dtype)
-        return y + b.astype(self.dtype)
+        return conv2d_torch_apply(x, w, b, self.stride, self.padding,
+                                  self.dtype, self.s2d)
 
 
 def _conv_s2d_k3s2p1(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
