@@ -227,6 +227,48 @@ def bench_rbvae_train_step():
                       "step_ms": round(dt * 1e3, 2)}))
 
 
+def bench_trunk_ab(batch=512, reps=24):
+    """A/B: XLA vs fused-Pallas conv1->conv2 trunk on the full headline
+    encode path (``RBVAEConfig.pallas_trunk``)."""
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.image import to_float01
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                      dtype=np.uint8))
+    out = {}
+    for tag, flag in (("xla", False), ("pallas_trunk", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50,
+                            compute_dtype="bfloat16", pallas_trunk=flag)
+        model = Seq2SeqBinaryVAE(cfg)
+        params = model.init({"params": jax.random.key(0)},
+                            jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
+                            1.0, False, deterministic=True)
+
+        @jax.jit
+        def enc(p, f, k, model=model):
+            return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                               method=Seq2SeqBinaryVAE.encode,
+                               deterministic=False,
+                               bc_rng=k).astype(jnp.uint8)
+
+        for i in range(8):
+            np.asarray(enc(params, frames, jax.random.key(100 + i)))
+        trials = []
+        for t in range(5):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                o = enc(params, frames, jax.random.key(t * reps + i))
+            np.asarray(o)
+            trials.append(batch * reps / (time.perf_counter() - t0))
+        out[tag] = float(np.median(trials))
+        print(json.dumps({"bench": "trunk_ab", "path": tag,
+                          "frames_per_sec": round(out[tag], 1)}))
+    print(json.dumps({"bench": "trunk_ab", "pallas_over_xla":
+                      round(out["pallas_trunk"] / out["xla"], 3)}))
+
+
 def bench_convopt_train_ab():
     """A/B the MXU conv transforms (conv0_s2d encoder + deconv_d2s
     decoder) on the full jitted train step (fwd+bwd+Adam)."""
@@ -548,6 +590,7 @@ if __name__ == "__main__":
         "breakdown": bench_encode_breakdown,
         "conv0_ab": bench_conv0_ab,
         "convopt_train_ab": bench_convopt_train_ab,
+        "trunk_ab": bench_trunk_ab,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():

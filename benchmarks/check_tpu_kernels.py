@@ -90,6 +90,47 @@ def main():
         results.append(check(f"flash_attention_exactness_{N}", err < 1e-3,
                              max_abs_err=err))
 
+    # --- fused conv trunk exactness vs the XLA conv path (f32, then the
+    # production bf16 encode with the pallas_trunk flag).
+    from svtpu.ops.conv import Conv2dTorch
+    from svtpu.ops.conv_trunk_pallas import fused_trunk23
+
+    h0 = jnp.asarray(rng.normal(size=(8, 128, 128, 64)), jnp.float32)
+    w1, w2 = (jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05,
+                          jnp.float32) for _ in range(2))
+    b1, b2 = (jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+              for _ in range(2))
+    conv = Conv2dTorch(64, 3, 2, 1)
+
+    def xla_trunk(h, wa, ba, wb, bb):
+        h = jax.nn.relu(h)
+        h = conv.apply({"params": {"kernel": wa, "bias": ba}}, h)
+        return conv.apply({"params": {"kernel": wb, "bias": bb}},
+                          jax.nn.relu(h))
+
+    got = np.asarray(jax.jit(fused_trunk23)(h0, w1, b1, w2, b2))
+    ref = np.asarray(jax.jit(xla_trunk)(h0, w1, b1, w2, b2))
+    err = float(np.max(np.abs(got - ref)))
+    results.append(check("fused_trunk_exactness_f32", err < 1e-3,
+                         max_abs_err=err))
+
+    codes = {}
+    for name, flag in (("xla", False), ("pallas", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50,
+                            compute_dtype="bfloat16", pallas_trunk=flag)
+        model = Seq2SeqBinaryVAE(cfg)
+        x256 = jnp.asarray(np.random.default_rng(2).random(
+            (4, 1, 256, 256, 3), dtype=np.float32))
+        params = model.init({"params": jax.random.key(0)},
+                            x256[:1], 1.0, False, deterministic=True)
+        codes[name] = np.asarray(jax.jit(
+            lambda p, xx, model=model: model.apply(
+                p, xx, 0.2, True, method=Seq2SeqBinaryVAE.encode,
+                deterministic=True))(params, x256))
+    mismatch = float((codes["xla"] != codes["pallas"]).mean())
+    results.append(check("encode_pallas_trunk_bitmatch", mismatch < 0.02,
+                         bit_mismatch_frac=mismatch))
+
     if not all(results):
         sys.exit(1)
 
