@@ -25,7 +25,10 @@ def main():
     from svtpu.ops.image import to_float01
 
     latent = 50
-    batch, reps = 256, 32
+    # Batch 512 is the measured throughput knee on v5e (73.8k f/s vs
+    # 46.9k at 256 — RESULTS.md round-2 breakdown); the encode is an
+    # offline/streaming path, so the larger batch is free to use.
+    batch, reps = 512, 24
     cfg = rbvae_variant("contrastive", latent_dim=latent,
                         compute_dtype="bfloat16")
     model = Seq2SeqBinaryVAE(cfg)
