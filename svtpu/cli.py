@@ -125,6 +125,7 @@ def cmd_train(args):
         final_temperature=args.final_temp, anneal_rate=args.anneal_rate,
         num_steps_to_update=args.num_steps_to_update,
         bernoulli_p=args.bernoulli_p, noise_ratio=args.noise_ratio,
+        eval_noise_ratio=args.eval_noise_ratio,
         margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
         contrast_on=args.contrast_on,
         contextfree_contrast=args.contextfree_contrast,
@@ -473,6 +474,10 @@ def main(argv=None):
     sp.add_argument("--num-steps-to-update", type=int, default=100)
     sp.add_argument("--bernoulli-p", type=float, default=0.1)
     sp.add_argument("--noise-ratio", type=float, default=0.1)
+    sp.add_argument("--eval-noise-ratio", type=float, default=None,
+                    help="noise for the selection metrics (default: "
+                         "--noise-ratio); decouples noise-hardened "
+                         "training from the eval protocol")
     sp.add_argument("--margin", type=float, default=0.2)
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)

@@ -237,6 +237,12 @@ class TrainConfig:
     num_steps_to_update: int = 100
     bernoulli_p: float = 0.1
     noise_ratio: float = 0.1
+    # Noise ratio for the *metric/selection* encodes (consistency,
+    # separation). None = use noise_ratio. Letting them differ enables
+    # noise-hardened training: train against strong Binary-Concrete noise
+    # (sharpens logits) while selecting checkpoints under the standard
+    # eval protocol.
+    eval_noise_ratio: Optional[float] = None
     margin: float = 0.2
     alpha: float = 1.0           # contrastive or triplet coefficient
     beta_kl: float = 1.0

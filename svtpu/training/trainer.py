@@ -362,9 +362,17 @@ class Trainer:
         use_bank = from_bank and self._bank is not None
 
         if "enc" not in self._compiled_encode:
+            # Metric encodes use the eval-protocol noise, which may differ
+            # from the training noise (noise-hardened training: train at a
+            # high noise_ratio, select checkpoints under the standard
+            # protocol).
+            enc_noise = (cfg.eval_noise_ratio
+                         if cfg.eval_noise_ratio is not None
+                         else cfg.noise_ratio)
+
             def enc_plain(params, x, key, temp, hard, noise):
                 return model.apply(
-                    params, x[:, None], temp, hard, cfg.noise_ratio,
+                    params, x[:, None], temp, hard, enc_noise,
                     method=Seq2SeqBinaryVAE.encode,
                     deterministic=not noise, bc_rng=key if noise else None)
             # temperature is traced; hard/noise are static (they change the
