@@ -93,25 +93,25 @@ def main():
     # --- fused conv trunk exactness vs the XLA conv path (f32, then the
     # production bf16 encode with the pallas_trunk flag).
     from svtpu.ops.conv import Conv2dTorch
-    from svtpu.ops.conv_trunk_pallas import fused_trunk23
+    from svtpu.ops.conv_trunk_pallas import fused_conv01
 
-    h0 = jnp.asarray(rng.normal(size=(8, 128, 128, 64)), jnp.float32)
-    w1, w2 = (jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05,
-                          jnp.float32) for _ in range(2))
-    b1, b2 = (jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+    xin = jnp.asarray(rng.normal(size=(8, 256, 256, 3)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(3, 3, 3, 64)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05, jnp.float32)
+    b0, b1 = (jnp.asarray(rng.normal(size=(64,)), jnp.float32)
               for _ in range(2))
     conv = Conv2dTorch(64, 3, 2, 1)
 
-    def xla_trunk(h, wa, ba, wb, bb):
-        h = jax.nn.relu(h)
-        h = conv.apply({"params": {"kernel": wa, "bias": ba}}, h)
-        return conv.apply({"params": {"kernel": wb, "bias": bb}},
-                          jax.nn.relu(h))
+    def xla_trunk(xx, wa, ba, wb, bb):
+        h = conv.apply({"params": {"kernel": wa, "bias": ba}}, xx)
+        h = conv.apply({"params": {"kernel": wb, "bias": bb}},
+                       jax.nn.relu(h))
+        return jax.nn.relu(h)
 
-    got = np.asarray(jax.jit(fused_trunk23)(h0, w1, b1, w2, b2))
-    ref = np.asarray(jax.jit(xla_trunk)(h0, w1, b1, w2, b2))
+    got = np.asarray(jax.jit(fused_conv01)(xin, w0, b0, w1, b1))
+    ref = np.asarray(jax.jit(xla_trunk)(xin, w0, b0, w1, b1))
     err = float(np.max(np.abs(got - ref)))
-    results.append(check("fused_trunk_exactness_f32", err < 1e-3,
+    results.append(check("fused_conv01_exactness_f32", err < 1e-3,
                          max_abs_err=err))
 
     codes = {}

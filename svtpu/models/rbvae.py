@@ -34,7 +34,7 @@ from svtpu.config import RBVAEConfig
 from svtpu.ops.binarize import binary_concrete
 from svtpu.ops.conv import (ConvParams, ConvTranspose2dTorch, Dense,
                             conv2d_torch_apply)
-from svtpu.ops.conv_trunk_pallas import fused_trunk23
+from svtpu.ops.conv_trunk_pallas import fused_conv01
 from svtpu.ops.lstm import LSTM
 
 
@@ -73,10 +73,10 @@ class ConvEncoder(nn.Module):
                     == (3, 2, 1) and h.shape[1:3] == (256, 256)), (
                 "pallas_trunk supports only the contrastive/triplet "
                 "pixel geometry")
-            h = conv2d_torch_apply(h, *wb[0], c.conv_stride,
+            h = fused_conv01(h, wb[0][0], wb[0][1], wb[1][0], wb[1][1],
+                             interpret=jax.default_backend() != "tpu")
+            h = conv2d_torch_apply(h, *wb[2], c.conv_stride,
                                    c.conv_padding, dtype)
-            h = fused_trunk23(h, wb[1][0], wb[1][1], wb[2][0], wb[2][1],
-                              interpret=jax.default_backend() != "tpu")
         else:
             for i, (w, b) in enumerate(wb):
                 h = conv2d_torch_apply(h, w, b, c.conv_stride,

@@ -1,24 +1,39 @@
-"""Fused Pallas kernel for the contrastive encoder's conv1→conv2 trunk.
+"""Pallas-accelerated conv trunk for the contrastive encoder.
 
 Measured on v5e (`bench_suite.py breakdown`), conv1 (64→64, k3/s2) is 83%
 of the headline encode path yet runs at 16% of bf16 peak — a third of its
-own 45% MXU tiling ceiling — because XLA's lowering round-trips the
-1 GB/batch of intermediate activations through HBM and tiles the stride-2
-conv poorly. This kernel processes one image per grid step entirely in
-VMEM: ReLU → im2col (stride-2 taps gathered into a ``[4096, 576]``
-panel) → one MXU matmul per conv → ReLU → conv2 the same way. HBM traffic
-per image drops to the 2 MB conv0 output read + 128 KB result write.
+own 45% MXU tiling ceiling. The bottleneck is XLA's stride-2 lowering,
+not HBM bandwidth (276 GB/s effective).
 
-Scope: inference encode only (no VJP; training keeps the XLA path, which
-autodiff needs anyway), and only the contrastive/triplet pixel geometry
-(256×256 input → conv0 [128,128,64] → [32,32,64]). The generic path and
-numerical reference is ``ops/conv.py::Conv2dTorch``; parity is pinned in
+Design (shaped by what Mosaic will lower — no stride-2 vector slices, no
+lane-merge reshapes, no leading↔sublane transposes):
+
+1. **conv0 runs in XLA as four stride-4 polyphase convolutions** — the
+   four (row-parity × col-parity) planes of conv0's output are each a
+   stride-4 conv of the raw input (same total FLOPs; XLA's thin-conv
+   transform applies to each). Zero rows/cols for conv1's padding and a
+   lane-axis concat assemble two *parity-major* maps in which the column
+   parity lives on the lane dimension:
+   ``MO[a, b, cp*64+ch] = q(2a-1, 2b-1+cp)``,
+   ``ME[a, b, cp*64+ch] = q(2a, 2b-1+cp)``, where ``q`` indexes conv1's
+   zero-padded input domain.
+2. **conv1 runs in Pallas**, one image per grid step: for each kernel
+   row ``dy``, the taps dx∈{0,1} land in one dense
+   ``[4096, 128] @ [128, 64]`` MXU matmul (K-fill 100%) over a slice of
+   the right parity map, and dx=2 in a second matmul of the same shape
+   with the odd-parity half of the weights zeroed. ReLU of conv0 happens
+   on the way in, ReLU of conv1 on the way out; every slice is
+   leading-dim or sublane-offset (both verified supported).
+3. conv2 (10% of the path) stays in XLA.
+
+Inference-only (no VJP; training keeps the XLA path, which autodiff
+needs anyway), contrastive/triplet pixel geometry only. The generic path
+and numerical reference is ``ops/conv.py``; parity is pinned in
 ``tests/test_conv_trunk_pallas.py`` and on hardware by
 ``benchmarks/check_tpu_kernels.py``.
 
-Reference provenance: the trunk itself is the reference's ConvEncoder
-stack (``contrastive_RBVAE_model.py:45-67``) — two inner 64-channel
-stride-2 convs with ReLU between.
+Reference provenance: the trunk is the reference ConvEncoder stack
+(``contrastive_RBVAE_model.py:45-67``).
 """
 from __future__ import annotations
 
@@ -29,115 +44,124 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_DN = ("NHWC", "HWIO", "NHWC")
 
-def _phases(xp: jax.Array):
-    """2×2 polyphase decomposition of a padded feature map.
 
-    Mosaic does not lower stride-2 vector slices, so the stride-2 taps are
-    instead taken from the four parity planes ``P[py][px][i, j, :] =
-    xp[2i+py, 2j+px, :]``, built with reshapes + static indexing (plain
-    even/odd deinterleaves).
+def conv0_polyphase(x: jax.Array, w0: jax.Array, b0: jax.Array, dtype):
+    """conv0 (k3/s2/p1) evaluated directly in polyphase form.
+
+    Returns ``(ME, MO)`` parity-major maps of conv1's zero-padded input
+    domain ``q ∈ [-1, 127]²`` (conv0 output padded by 1; q=-1 rows/cols
+    are zeros):
+
+      * ``MO``: odd rows ``q_r = 2a-1`` (a=0..64), ``[B, 65, 65, 128]``
+      * ``ME``: even rows ``q_r = 2a`` (a=0..63), ``[B, 64, 65, 128]``
+
+    with lanes ``cp*64+ch`` covering column ``q_c = 2b-1+cp``.
     """
-    P, Q, C = xp.shape
-    rows = xp.reshape(P // 2, 2, Q, C)
-    out = []
-    for py in range(2):
-        r = rows[:, py]                          # [P/2, Q, C]
-        cols = r.reshape(P // 2, Q // 2, 2, C)
-        out.append([cols[:, :, px] for px in range(2)])
-    return out                                   # out[py][px]: [P/2, Q/2, C]
+    xd, wd = x.astype(dtype), w0.astype(dtype)
+    B = x.shape[0]
+
+    def p4(row_odd: bool, col_odd: bool):
+        # Plane entry t: conv0 output row 2t+1 (odd planes, input slice
+        # from 1) or 2t (even planes, pad lo 1); ditto columns.
+        src = xd
+        if row_odd:
+            src = src[:, 1:]
+        if col_odd:
+            src = src[:, :, 1:]
+        pad_r = (0, 0) if row_odd else (1, 0)
+        pad_c = (0, 0) if col_odd else (1, 0)
+        return jax.lax.conv_general_dilated(
+            src, wd, (4, 4), (pad_r, pad_c), dimension_numbers=_DN,
+            preferred_element_type=dtype)              # [B, 64, 64, 64]
+
+    bias = b0.astype(dtype)
+    oo, oe, eo, ee = (p4(True, True) + bias, p4(True, False) + bias,
+                      p4(False, True) + bias, p4(False, False) + bias)
+    zrow = jnp.zeros((B, 1, 64, 64), dtype)
+    zcol = jnp.zeros((B, 65, 1, 64), dtype)
+    # Odd-row map: q_r = 2a-1 → a=0 is the q=-1 zero row. Lanes: cp=0 is
+    # the odd-column plane (q_c = 2b-1, b=0 zero col), cp=1 the even
+    # (q_c = 2b; b=64 unused, zero-padded).
+    oo_f = jnp.concatenate([zcol, jnp.concatenate([zrow, oo], 1)], 2)
+    oe_f = jnp.concatenate([jnp.concatenate([zrow, oe], 1), zcol], 2)
+    MO = jnp.concatenate([oo_f, oe_f], -1)             # [B, 65, 65, 128]
+    zcol_e = jnp.zeros((B, 64, 1, 64), dtype)
+    eo_f = jnp.concatenate([zcol_e, eo], 2)
+    ee_f = jnp.concatenate([ee, zcol_e], 2)
+    ME = jnp.concatenate([eo_f, ee_f], -1)             # [B, 64, 65, 128]
+    return ME, MO
 
 
-def _fill_taps(panel_ref, ph, out_hw: int, row0: int, rows: int,
-               in_ch: int) -> None:
-    """Fill an im2col panel ref for a stride-2 k3 conv from polyphase
-    planes.
-
-    Output row ``i``, col ``j`` read ``xp[2i+dy, 2j+dx]`` =
-    ``ph[dy%2][dx%2][i + dy//2, j + dx//2]``; the row range
-    ``[row0, row0+rows)`` is written into ``panel_ref``
-    (``[rows*out_hw, 9*C]``) with taps ordered (dy, dx) row-major —
-    matching ``w.reshape(9*C, O)`` of an HWIO kernel. Taps are stored
-    one by one (Mosaic cannot concatenate operands with mismatched
-    slice offsets).
-    """
-    for t, (dy, dx) in enumerate((a, b) for a in range(3) for b in range(3)):
-        tap = jax.lax.slice(
-            ph[dy % 2][dx % 2],
-            (row0 + dy // 2, dx // 2, 0),
-            (row0 + dy // 2 + rows, dx // 2 + out_hw, in_ch))
-        panel_ref[:, t * in_ch:(t + 1) * in_ch] = tap.reshape(
-            rows * out_hw, in_ch)
+def _conv1_kernel(me_ref, mo_ref, wa_ref, wb_ref, b_ref, o_ref):
+    """One image: ReLU(conv0 planes) → conv1 (stride-2) → ReLU."""
+    xe = jnp.maximum(me_ref[0], 0)                     # [64, 65, 128]
+    xo = jnp.maximum(mo_ref[0], 0)                     # [65, 65, 128]
+    acc = None
+    # Tap row q_r = 2i-1+dy: dy=0 → odd plane a=i; dy=1 → even plane
+    # a=i; dy=2 → odd plane a=i+1.
+    for dy, (plane, off) in enumerate(((xo, 0), (xe, 0), (xo, 1))):
+        a_cur = plane[off:off + 64, 0:64].reshape(4096, 128)
+        a_nxt = plane[off:off + 64, 1:65].reshape(4096, 128)
+        part = (jnp.dot(a_cur, wa_ref[dy],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(a_nxt, wb_ref[dy],
+                          preferred_element_type=jnp.float32))
+        acc = part if acc is None else acc + part
+    y = jnp.maximum(acc + b_ref[:], 0)
+    o_ref[0] = y.astype(o_ref.dtype).reshape(64, 64, 64)
 
 
-def _trunk_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, a1_ref,
-                  h1_ref, a2_ref, *, halves: int):
-    """One image: ReLU → conv1 (stride-2, in VMEM) → ReLU → conv2."""
-    x = jnp.maximum(x_ref[0], 0)                            # [128,128,64]
-    # Pad 1 for the k3 halo, plus enough to keep the taps in range.
-    xp = jnp.pad(x, ((1, 3), (1, 3), (0, 0)))               # [132,132,64]
-    ph = _phases(xp)                                        # 4× [66,66,64]
+def _conv1_weights(w: jax.Array, dtype):
+    """``[3,3,C,O]`` HWIO kernel → lane-major banks ``[3, 2C, O]``.
 
-    rows = 64 // halves
-    for r in range(halves):
-        _fill_taps(a1_ref, ph, 64, r * rows, rows, 64)
-        h = jax.lax.dot_general(
-            a1_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b1_ref[:]
-        h1_ref[pl.ds(r * rows, rows)] = (
-            jnp.maximum(h, 0).astype(h1_ref.dtype).reshape(rows, 64, 64))
-
-    hp = jnp.pad(h1_ref[:], ((1, 3), (1, 3), (0, 0)))       # [68,68,64]
-    _fill_taps(a2_ref, _phases(hp), 32, 0, 32, 64)          # [1024, 576]
-    y = jax.lax.dot_general(
-        a2_ref[:], w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[:]
-    o_ref[0] = y.astype(o_ref.dtype).reshape(32, 32, 64)
+    Lane ``cp*C+ch`` holds column ``q_c = 2b-1+cp``; for output column
+    ``j`` (taps ``q_c = 2j-1+dx``): block ``b=j`` carries dx=0 (cp0) and
+    dx=1 (cp1) → bank *a*; block ``b=j+1`` carries dx=2 on cp0 → bank
+    *b* (cp1 half zero)."""
+    C, O = w.shape[2], w.shape[3]
+    wd = w.astype(dtype)
+    wa = jnp.concatenate([wd[:, 0], wd[:, 1]], axis=1)
+    wb = jnp.concatenate([wd[:, 2], jnp.zeros((3, C, O), dtype)], axis=1)
+    return wa, wb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_trunk23(h0: jax.Array, w1: jax.Array, b1: jax.Array,
-                  w2: jax.Array, b2: jax.Array,
-                  interpret: bool = False) -> jax.Array:
-    """ReLU → conv1(k3,s2,p1) → ReLU → conv2(k3,s2,p1) fused in VMEM.
+def fused_conv01(x: jax.Array, w0: jax.Array, b0: jax.Array,
+                 w1: jax.Array, b1: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """conv0 (XLA, polyphase) → ReLU → conv1 (Pallas) → ReLU.
 
     Args:
-      h0: conv0 output *including its bias*, ``[B, 128, 128, 64]``.
-      w1/w2: HWIO kernels ``[3, 3, 64, 64]`` (``Conv2dTorch`` layout).
-      b1/b2: biases ``[64]``.
+      x: normalized frames ``[B, 256, 256, 3]`` (f32/bf16).
+      w0/w1: HWIO kernels ``[3, 3, 3, 64]`` / ``[3, 3, 64, 64]``.
+      b0/b1: biases ``[64]``.
 
-    Returns ``[B, 32, 32, 64]`` in ``h0``'s dtype (conv2 output + bias,
-    pre-ReLU-free exactly like the XLA trunk: no activation after the
-    last conv).
+    Returns post-ReLU conv1 activations ``[B, 64, 64, 64]`` in bf16 when
+    the input is low precision (the trunk's compute dtype), matching
+    ``relu(conv1(relu(conv0(x))))`` of the generic path.
     """
-    B = h0.shape[0]
-    assert h0.shape[1:] == (128, 128, 64), h0.shape
-    dt = h0.dtype
-    w1f = w1.reshape(576, 64).astype(dt)
-    w2f = w2.reshape(576, 64).astype(dt)
+    B = x.shape[0]
+    assert x.shape[1:3] == (256, 256), x.shape
+    dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    ME, MO = conv0_polyphase(x, w0, b0, dt)
+    wa, wb = _conv1_weights(w1, dt)
     b1f = b1.reshape(1, 64).astype(jnp.float32)
-    b2f = b2.reshape(1, 64).astype(jnp.float32)
-
-    halves = 2
-    kernel = functools.partial(_trunk_kernel, halves=halves)
     return pl.pallas_call(
-        kernel,
+        _conv1_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 128, 128, 64), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 64, 65, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 65, 65, 128), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 32, 32, 64), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 64, 64, 64), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 32, 32, 64), dt),
-        scratch_shapes=[
-            pltpu.VMEM((64 // halves * 64, 576), dt),   # conv1 im2col panel
-            pltpu.VMEM((64, 64, 64), dt),               # conv1 output
-            pltpu.VMEM((1024, 576), dt),                # conv2 im2col panel
-        ],
+        out_shape=jax.ShapeDtypeStruct((B, 64, 64, 64), dt),
         interpret=interpret,
-    )(h0, w1f, b1f, w2f, b2f)
+    )(ME, MO, wa, wb, b1f)
