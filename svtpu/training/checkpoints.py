@@ -68,3 +68,34 @@ class BestCheckpointer:
 
     def exists(self, name: str = "best") -> bool:
         return (self.directory / name).exists()
+
+
+def save_params_npz(params: Any, path: str | Path) -> None:
+    """Portable single-file export of a param pytree.
+
+    Keys are '/'-joined tree paths, so the archive is self-describing and
+    survives environments without orbax (the reference's analogue is a
+    torch ``state_dict`` in a ``.pt``; this is the dependency-free JAX
+    equivalent, used to commit small trained artifacts under
+    ``results/``)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for keypath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in keypath)
+        out[key] = np.asarray(leaf)
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str | Path) -> dict:
+    """Inverse of :func:`save_params_npz`: nested dict keyed by path
+    segments."""
+    with np.load(path) as z:
+        tree: dict = {}
+        for key in z.files:
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return tree

@@ -359,3 +359,20 @@ def test_contextfree_contrast_trains(synth_video):
                   store, splits, meta.flags, seed=0)
     hist2 = tr2.train(num_epochs=1)
     assert not np.isclose(cf, hist2["train_losses"][0]["contrast_loss"])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """Portable npz export/import preserves the param tree exactly."""
+    from svtpu.training.checkpoints import load_params_npz, save_params_npz
+
+    params = {"params": {"enc": {"kernel": np.arange(12.0).reshape(3, 4),
+                                 "bias": np.zeros(4)},
+                         "fc": {"w": np.ones((2, 2), np.float32)}}}
+    save_params_npz(params, tmp_path / "p.npz")
+    back = load_params_npz(tmp_path / "p.npz")
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(sorted(flat_a, key=str),
+                                  sorted(flat_b, key=str)):
+        np.testing.assert_array_equal(va, vb)
