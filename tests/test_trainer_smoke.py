@@ -376,3 +376,29 @@ def test_params_npz_roundtrip(tmp_path):
     for (ka, va), (kb, vb) in zip(sorted(flat_a, key=str),
                                   sorted(flat_b, key=str)):
         np.testing.assert_array_equal(va, vb)
+
+
+def test_flagship_archive_integrity():
+    """The committed flagship parameter archive must load into the exact
+    tree the latent-25 contrastive model expects (results/ artifact,
+    RESULTS.md flagship)."""
+    import pathlib
+
+    import jax.numpy as jnp
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.training.checkpoints import load_params_npz
+
+    path = (pathlib.Path(__file__).parent.parent / "results"
+            / "p_hardened_params.npz")
+    params = load_params_npz(path)
+    mcfg = rbvae_variant("contrastive", latent_dim=25)
+    ref = Seq2SeqBinaryVAE(mcfg).init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 1, 256, 256, 3), jnp.float32), 1.0, False,
+        deterministic=True)
+    fa = jax.tree_util.tree_flatten_with_path(ref)[0]
+    fb = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert len(fa) == len(fb)
+    shapes_a = sorted((str(k), tuple(v.shape)) for k, v in fa)
+    shapes_b = sorted((str(k), tuple(v.shape)) for k, v in fb)
+    assert shapes_a == shapes_b
