@@ -37,10 +37,42 @@ class MultiStore:
         if len(shapes) != 1:
             raise ValueError(f"stores disagree on item_shape: {shapes}")
         self.stores = list(stores)
+        self._array = None
 
     @property
     def item_shape(self):
         return self.stores[0].item_shape
+
+    # -- device-staging support (Trainer stage_frames): one concatenated
+    # bank + global-id → bank-row routing, so multi-video training gets
+    # the same index-only host→device transfer as single-video.
+
+    @property
+    def array(self) -> np.ndarray:
+        if not all(hasattr(s, "array") and hasattr(s, "rows")
+                   for s in self.stores):
+            # hasattr(multi_store, "array") → False, so the Trainer's
+            # staging gate falls back to host gathers.
+            raise AttributeError("sub-stores lack array/rows")
+        if self._array is None:
+            self._array = np.concatenate(
+                [np.asarray(s.array) for s in self.stores])
+        return self._array
+
+    def rows(self, frame_indices) -> np.ndarray:
+        idx = np.asarray(frame_indices)
+        video = idx // OFFSET
+        local = idx % OFFSET
+        base, acc = [], 0
+        for s in self.stores:
+            base.append(acc)
+            acc += len(s.array)
+        out = np.empty(idx.shape, np.int64)
+        for k, s in enumerate(self.stores):
+            sel = video == k
+            if sel.any():
+                out[sel] = base[k] + s.rows(local[sel])
+        return out
 
     def gather(self, idx) -> np.ndarray:
         idx = np.asarray(idx)

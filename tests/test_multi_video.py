@@ -60,3 +60,31 @@ def test_triplet_training_across_videos():
     # consistency over combined states computes with the explicit label map
     w, pct = tr.state_consistency(hist["final_state"].params, 0.2)
     assert 0.0 <= w <= 1.0 and len(pct) == 5
+
+
+def test_multistore_staging_rows_match_gather():
+    """MultiStore.array + rows() (the device-staging interface) must index
+    the same frames that gather() returns."""
+    import numpy as np
+
+    from svtpu.data.multi import OFFSET, MultiStore
+
+    class S:
+        def __init__(self, n, seed):
+            self.array = np.random.default_rng(seed).integers(
+                0, 255, (n, 4, 4, 3), dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def rows(self, idx):
+            return np.asarray(idx)
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    ms = MultiStore([S(5, 0), S(7, 1)])
+    gids = np.array([0, 3, OFFSET + 0, OFFSET + 6, 4])
+    np.testing.assert_array_equal(ms.array[ms.rows(gids)], ms.gather(gids))
+    assert len(ms.array) == 12
