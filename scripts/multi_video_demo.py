@@ -10,7 +10,10 @@ reporting the cross-video val consistency/separation trajectory.
 
 Usage: python scripts/multi_video_demo.py [epochs]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
