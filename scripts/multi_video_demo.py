@@ -82,7 +82,7 @@ def main():
           f"global_states={max(labels.values()) + 1} "
           f"bank_frames={len(store.array)}")
     hist = tr.train(num_epochs=epochs,
-                    save_path="data/ckpt/multi_demo")
+                    save_path="data/ckpt/multi_demo", resume=True)
     best = max(v.get("combined_score", 0.0) for v in hist["val_losses"])
     last = hist["val_losses"][-1]
     print(f"best_combined={best:.4f} "
