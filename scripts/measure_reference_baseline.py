@@ -1,60 +1,54 @@
 """Measure the reference pipeline's video→binary-symbol throughput.
 
-The reference publishes no benchmark numbers (BASELINE.md), so we measure an
-equivalent torch model here: the contrastive Seq2SeqBinaryVAE encode path
-(conv trunk → 2-layer LSTM → binary concrete, hard) exactly as the reference
-evaluation protocol runs it — one frame per call as a [1, 1, C, 256, 256]
-sequence (``embedding_matching.py:264``, ``percep_RBVAE_train.py:459-462``)
-— on the torch device available (CPU here; the reference itself falls back
-to CPU when CUDA is absent, ``contrastive_RBVAE_train.py:717``).
+The reference publishes no benchmark numbers (BASELINE.md), so we measure
+the GENUINE reference model here: the contrastive ``Seq2SeqBinaryVAE``
+from ``models/contrastive_RBVAE/contrastive_RBVAE_model.py`` (imported via
+svtpu.utils.reference's torchvision stub), running its ``.encode`` exactly
+as the reference evaluation protocol does — one frame per call as a
+[1, 1, C, 256, 256] sequence, hard=True, temp 0.2
+(``embedding_matching.py:264``, ``percep_RBVAE_train.py:459-462``) — on
+the torch device available (CPU here; the reference itself falls back to
+CPU when CUDA is absent, ``contrastive_RBVAE_train.py:717``).
 
 Writes BENCH_BASELINE.json with frames/sec for batch-1 (reference protocol)
 and batch-32 (best case for the reference's architecture under torch).
 """
 import json
 import platform
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 import torch
 import torch.nn as nn
 
+sys.path.append(str(Path(__file__).resolve().parents[1]))
+from svtpu.utils.reference import load_reference_model_module  # noqa: E402
+
 LATENT = 50
 RES = 256
 
 
-class Encoder(nn.Module):
-    """Torch model with the reference contrastive encode topology/widths
-    (contrastive_RBVAE_model.py:45-67, 93-107): 3x conv(k3,s2,p1) 64ch,
-    Linear(65536, latent), 2-layer LSTM, binary-concrete hard threshold."""
-
-    def __init__(self, latent=LATENT):
-        super().__init__()
-        self.trunk = nn.Sequential(
-            nn.Conv2d(3, 64, 3, 2, 1), nn.ReLU(), nn.Dropout(0.2),
-            nn.Conv2d(64, 64, 3, 2, 1), nn.ReLU(), nn.Dropout(0.2),
-            nn.Conv2d(64, 64, 3, 2, 1), nn.Flatten())
-        self.proj = nn.Linear(64 * 32 * 32, latent)
-        self.rnn = nn.LSTM(latent, latent, 2, batch_first=True)
-
-    def forward(self, x, temperature=0.2):
-        b, t = x.shape[:2]
-        h = self.proj(self.trunk(x.reshape(b * t, *x.shape[2:])))
-        h, _ = self.rnn(h.reshape(b, t, -1))
-        u = torch.rand_like(h)
-        noise = 0.1 * (torch.log(u + 1e-8) - torch.log(1 - u + 1e-8))
-        y = torch.sigmoid((h + noise) / temperature)
-        return (y > 0.5).float()
+def genuine_rbvae():
+    """The ACTUAL reference contrastive Seq2SeqBinaryVAE
+    (``contrastive_RBVAE_model.py:125-190``), latent 50 (the reference's
+    chinchess best-model latent, ``best_models.txt``), eval mode."""
+    mod = load_reference_model_module("contrastive")
+    if mod is None:
+        raise SystemExit("/root/reference not available")
+    torch.manual_seed(0)
+    return mod.Seq2SeqBinaryVAE(3, 3, LATENT, LATENT).eval()
 
 
 def throughput(model, batch, n_frames=64):
     x = torch.rand(batch, 1, 3, RES, RES)
     with torch.no_grad():
-        model(x)  # warmup
+        model.encode(x, temperature=0.2, hard=True, noise_ratio=0.1)
         t0 = time.perf_counter()
         done = 0
         while done < n_frames:
-            model(x)
+            model.encode(x, temperature=0.2, hard=True, noise_ratio=0.1)
             done += batch
         dt = time.perf_counter() - t0
     return done / dt
@@ -72,7 +66,7 @@ def genuine_sd_encoder():
     reference tree is absent (fall back to SDEncoderEquivalent)."""
     import sys
     if REFERENCE_SD not in sys.path:
-        sys.path.insert(0, REFERENCE_SD)
+        sys.path.append(REFERENCE_SD)  # append: untrusted tree must not shadow installed packages
     try:
         from ldm.modules.diffusionmodules.model import Encoder
     except ImportError:
@@ -143,13 +137,14 @@ def sd_encoder_seconds_per_frame():
 
 def main():
     torch.manual_seed(0)
-    model = Encoder().eval()
+    model = genuine_rbvae()
     fps1 = throughput(model, 1, 32)
     fps32 = throughput(model, 32, 64)
     sd_spf, sd_genuine = sd_encoder_seconds_per_frame()
     out = {
-        "description": "reference-equivalent torch encode throughput "
-                       "(contrastive RBVAE, 256x256, latent 50)",
+        "description": "GENUINE reference torch encode throughput "
+                       "(contrastive_RBVAE_model.py Seq2SeqBinaryVAE"
+                       ".encode, 256x256, latent 50)",
         "device": "cpu",
         "cpu": platform.processor() or platform.machine(),
         "torch": torch.__version__,
@@ -157,6 +152,8 @@ def main():
         "frames_per_sec_batch32": round(fps32, 2),
         "protocol": "batch1 = reference eval protocol "
                     "(frame-at-a-time [1,1,C,H,W]); batch32 = batched",
+        "rbvae_module": "genuine contrastive_RBVAE_model.Seq2SeqBinaryVAE"
+                        ".encode (torchvision import stubbed)",
         "sd_encoder_sec_per_frame": round(sd_spf, 3),
         "sd_encoder_frames_per_sec": round(1.0 / sd_spf, 3),
         "sd_encoder_module": ("measured on the actual reference module "

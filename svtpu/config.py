@@ -135,6 +135,13 @@ class RBVAEConfig:
     conv_stride: int = 2
     conv_padding: int = 1
     conv_dropout: float = 0.2
+    # Whether the encoder trunk applies ReLU after the LAST conv as well.
+    # The simple variant does (``simple_RBVAE_model.py:82-89`` —
+    # Conv,ReLU ×3 then Flatten); contrastive/percep/triplet end on the
+    # bare conv (``contrastive_RBVAE_model.py:49-58``). Caught by the
+    # genuine-class parity tests (round 3) — a hand-written twin had
+    # masked it.
+    conv_final_relu: bool = False
     # LSTM depth (1=simple, 2=contrastive/triplet, 4=percep). Hidden size is
     # wired to latent_dim in every reference variant
     # (``contrastive_RBVAE_model.py:139-140``).
@@ -197,13 +204,21 @@ class RBVAEConfig:
 
 def rbvae_variant(name: str, latent_dim: int = 32, *,
                   compute_dtype: str = "float32", **overrides) -> RBVAEConfig:
-    """Factory for the four reference variants by name."""
+    """Factory for the four reference variants by name.
+
+    Also accepts the sweep-space aliases ``contrastive_z``/``contrastive_p``
+    (``sweeps/spaces.py``) so eval paths fed a sweep's variant name resolve
+    to the contrastive model instead of raising.
+    """
+    name = {"contrastive_z": "contrastive",
+            "contrastive_p": "contrastive"}.get(name, name)
     base = dict(latent_dim=latent_dim, compute_dtype=compute_dtype)
     if name == "simple":
         cfg = dict(
             variant="simple", input_hw=(64, 64), conv_features=(64, 128, 256),
-            conv_kernel=4, conv_dropout=0.0, lstm_layers=1,
-            binarize="pre_rnn", bc_eps=1e-10, has_noise_ratio=False)
+            conv_kernel=4, conv_dropout=0.0, conv_final_relu=True,
+            lstm_layers=1, binarize="pre_rnn", bc_eps=1e-10,
+            has_noise_ratio=False)
     elif name == "contrastive":
         cfg = dict(variant="contrastive")
     elif name == "triplet":

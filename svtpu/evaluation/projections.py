@@ -3,8 +3,9 @@
 Rebuilds ``scripts/evaluation/clustering_eval/embedding_umap.py`` (reference
 :58-128): 2-D projections of *soft* codes (hard=False) colored by state
 label, with the reference's hyperparameters (UMAP n_neighbors 24 /
-min_dist 0.25, t-SNE perplexity 30, PCA 2 components). UMAP degrades
-gracefully when the package is unavailable."""
+min_dist 0.25, t-SNE perplexity 30, PCA 2 components). UMAP uses
+umap-learn when installed, else the first-party minimal implementation
+(svtpu/evaluation/umap_min.py)."""
 from __future__ import annotations
 
 from pathlib import Path
@@ -38,7 +39,12 @@ def project(codes: np.ndarray, method: str = "pca",
         try:
             import umap
         except ImportError:
-            return None
+            # umap-learn is unavailable here; use the first-party minimal
+            # UMAP (svtpu/evaluation/umap_min.py) with the reference
+            # hyperparameters — the chart is produced for real either way.
+            from svtpu.evaluation.umap_min import umap_embed
+            return umap_embed(codes, n_neighbors=24, min_dist=0.25,
+                              seed=seed)
         return umap.UMAP(n_neighbors=24, min_dist=0.25,
                          random_state=seed).fit_transform(codes)
     raise ValueError(method)

@@ -82,12 +82,13 @@ class ConvEncoder(nn.Module):
                 h = conv2d_torch_apply(h, w, b, c.conv_stride,
                                        c.conv_padding, dtype,
                                        s2d=(i == 0 and c.conv0_s2d))
-                # The reference applies ReLU(+Dropout) between convs but
-                # not after the last one
+                # The reference applies ReLU(+Dropout) between convs; the
+                # simple variant ALSO ReLUs the last conv
+                # (``simple_RBVAE_model.py:82-89``), the others do not
                 # (``contrastive_RBVAE_model.py:49-58``).
-                if i < n - 1:
+                if i < n - 1 or c.conv_final_relu:
                     h = jax.nn.relu(h)
-                    if c.conv_dropout > 0:
+                    if i < n - 1 and c.conv_dropout > 0:
                         h = nn.Dropout(c.conv_dropout,
                                        deterministic=deterministic)(h)
         h = h.reshape(h.shape[0], -1)

@@ -140,9 +140,19 @@ def run_sweep(variant: str, store, video_meta: VideoMeta,
         done = (Path(save_dir) / f"local_{t}_config.json"
                 if save_dir else None)
         if done and done.exists():
-            # Resume an interrupted sweep: reuse the recorded summary.
+            # Resume an interrupted sweep: reuse the recorded summary — but
+            # only if the recorded config matches what this (seed, space,
+            # trial index) re-samples; otherwise the score would be silently
+            # attributed to a config that never ran.
             prev = json.loads(done.read_text())
             score = prev.get(metric[0])
+            prev_cfg = prev.get("config")
+            if score is not None and prev_cfg is not None \
+                    and prev_cfg != cfg:
+                print(f"[trial {t}/{count}] recorded config differs from "
+                      f"re-sampled config (seed/space/count changed?) — "
+                      f"retraining", flush=True)
+                score = None
             if score is not None:
                 print(f"[trial {t}/{count}] resumed: {metric[0]}={score:.4f}",
                       flush=True)

@@ -48,6 +48,25 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
 
 
+def _staging_nbytes(store) -> int:
+    """Cheap HBM-bank size probe for the staging gate.
+
+    Never touches ``MultiStore.array`` (which would eagerly concatenate
+    every sub-store into a full host copy even if staging is then
+    declined) — sums the already-materialized sub-store arrays instead.
+    Returns 0 when the store cannot stage (no array/rows interface).
+    """
+    subs = getattr(store, "stores", None)
+    if subs is not None:
+        if not all(hasattr(s, "array") and hasattr(s, "rows")
+                   for s in subs):
+            return 0
+        return sum(int(s.array.nbytes) for s in subs)
+    if hasattr(store, "array") and hasattr(store, "rows"):
+        return int(getattr(store.array, "nbytes", 0))
+    return 0
+
+
 def _prep(batch: jax.Array) -> jax.Array:
     """uint8 frames → float [0,1]; float embeddings pass through."""
     if batch.dtype == jnp.uint8:
@@ -108,7 +127,8 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
                 params, xf, temperature, hard, cfg.noise_ratio,
                 deterministic=deterministic,
                 rngs=(None if deterministic
-                      else {"dropout": k_drop, "binary": k_bin}),
+                      else {"dropout": jax.random.fold_in(k_drop, 1),
+                            "binary": jax.random.fold_in(k_bin, 1)}),
                 bc_rng=jax.random.fold_in(k_bin, 1))
             repf = {"h": outf.h_seq, "z": outf.z_seq,
                     "p": jax.nn.sigmoid(outf.h_seq)}[cfg.contrast_on]
@@ -246,12 +266,10 @@ class Trainer:
         # on-chip. Decisive through thin links (remote relays); on real
         # hosts it removes the PCIe stream entirely.
         self._bank = None
-        if (train_cfg.objective != "simple"
-                and train_cfg.stage_frames
-                and hasattr(store, "array") and hasattr(store, "rows")):
-            nbytes = int(getattr(store.array, "nbytes", 0))
-            if train_cfg.stage_frames != "auto" \
-                    or 0 < nbytes <= 2 * 1024**3:
+        if train_cfg.objective != "simple" and train_cfg.stage_frames:
+            nbytes = _staging_nbytes(store)
+            if nbytes > 0 and (train_cfg.stage_frames != "auto"
+                               or nbytes <= 2 * 1024**3):
                 self._bank = jax.device_put(jnp.asarray(store.array),
                                             self._rep)
 

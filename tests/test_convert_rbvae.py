@@ -1,134 +1,126 @@
-"""Reference-checkpoint porting: a torch twin of the contrastive RBVAE
-(same Sequential layout as the reference model, so state_dict keys match
-real checkpoints) → convert_rbvae → bit-level forward parity."""
-import numpy as np
-import torch
-import torch.nn as tnn
+"""Reference-checkpoint porting, pinned to the GENUINE reference classes.
 
-import jax
+Loads the actual ``Seq2SeqBinaryVAE`` from each of the four reference
+variant files (``models/{simple,contrastive,percep,triplet}_RBVAE/
+*_model.py``, imported via tests/_reference_rbvae.py's torchvision stub) at
+its real geometry, ports the state dict with ``convert_rbvae``, and checks
+bit-level forward parity. No hand-written torch twins — the round-2
+verdict's top item."""
+import numpy as np
+import pytest
+import torch
+
 import jax.numpy as jnp
 
 from svtpu.config import rbvae_variant
 from svtpu.models.convert_rbvae import convert_rbvae
 from svtpu.models.rbvae import Seq2SeqBinaryVAE
 
+from _reference_rbvae import det_rand, load_reference_model_module
+
 LATENT = 10
-RES = 32   # shrunken spatial size; channel/layout logic identical
 
 
-class TorchTwin(tnn.Module):
-    """State-dict-compatible twin of the reference contrastive model
-    (conv trunk 3x[k3 s2 p1] with ReLU+Dropout, Linear, 2-layer LSTMs,
-    mirrored deconv stack)."""
-
-    def __init__(self, latent=LATENT, ch=64, enc_hw=RES // 8):
-        super().__init__()
-        flat = ch * enc_hw * enc_hw
-
-        class Enc(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.conv = tnn.Sequential(
-                    tnn.Conv2d(3, ch, 3, 2, 1), tnn.ReLU(), tnn.Dropout(0.2),
-                    tnn.Conv2d(ch, ch, 3, 2, 1), tnn.ReLU(), tnn.Dropout(0.2),
-                    tnn.Conv2d(ch, ch, 3, 2, 1), tnn.Flatten())
-                self.fc = tnn.Linear(flat, latent)
-
-            def forward(self, x):
-                return self.fc(self.conv(x))
-
-        class Dec(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.fc = tnn.Linear(latent, flat)
-                self.deconv = tnn.Sequential(
-                    tnn.ConvTranspose2d(ch, ch, 3, 2, 1, output_padding=1),
-                    tnn.ReLU(), tnn.Dropout(0.2),
-                    tnn.ConvTranspose2d(ch, ch, 3, 2, 1, output_padding=1),
-                    tnn.ReLU(), tnn.Dropout(0.2),
-                    tnn.ConvTranspose2d(ch, 3, 3, 2, 1, output_padding=1),
-                    tnn.Sigmoid())
-
-            def forward(self, z):
-                h = self.fc(z).reshape(-1, ch, enc_hw, enc_hw)
-                return self.deconv(h)
-
-        class Rnn(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.lstm = tnn.LSTM(latent, latent, 2, batch_first=True)
-
-            def forward(self, x):
-                return self.lstm(x)[0]
-
-        self.encoder_cnn = Enc()
-        self.decoder_cnn = Dec()
-        self.encoder_rnn = Rnn()
-        self.decoder_rnn = Rnn()
-
-    def forward_no_noise(self, x, temperature):
-        """Reference forward (contrastive_RBVAE_model.py:142-169) with the
-        logistic noise zeroed so parity is deterministic."""
-        B, T = x.shape[:2]
-        flat = x.reshape(B * T, *x.shape[2:])
-        logits = self.encoder_cnn(flat).reshape(B, T, -1)
-        h_seq = self.encoder_rnn(logits)
-        z_seq = torch.sigmoid(h_seq / temperature)
-        d_seq = self.decoder_rnn(z_seq)
-        rec = self.decoder_cnn(d_seq.reshape(B * T, -1))
-        return rec.reshape(x.shape), h_seq, z_seq, logits
+def _reference_model(variant: str, latent: int = LATENT, in_ch: int = 3):
+    mod = load_reference_model_module(variant)
+    if mod is None:
+        pytest.skip("/root/reference not available")
+    torch.manual_seed(hash(variant) % 2**31)
+    return mod.Seq2SeqBinaryVAE(in_ch, in_ch, latent, latent).eval()
 
 
-def test_checkpoint_port_forward_parity():
-    torch.manual_seed(0)
-    twin = TorchTwin().eval()
-    cfg = rbvae_variant("contrastive", latent_dim=LATENT, input_hw=(RES, RES))
-    params = convert_rbvae(twin.state_dict(), cfg)
+def _svtpu_from(ref_model, variant: str, latent: int = LATENT, **overrides):
+    cfg = rbvae_variant(variant, latent_dim=latent, **overrides)
+    return Seq2SeqBinaryVAE(cfg), convert_rbvae(ref_model.state_dict(), cfg)
 
-    x = torch.rand(2, 3, 3, RES, RES)
-    with torch.no_grad():
-        rec_t, h_t, z_t, logits_t = twin.forward_no_noise(x, 0.5)
 
-    model = Seq2SeqBinaryVAE(cfg)
-    xj = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))  # NCHW→NHWC
-    out = model.apply(params, xj, 0.5, False, deterministic=True)
+def _forward_parity(variant: str, shape, in_ch=3, temperature=0.5,
+                    latent=LATENT, batch=2):
+    """Deterministic forward parity at the variant's REAL geometry.
 
-    np.testing.assert_allclose(np.asarray(out.logits), logits_t.numpy(),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.h_seq), h_t.numpy(),
-                               rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.z_seq), z_t.numpy(),
-                               rtol=1e-3, atol=1e-4)
+    Contrastive/percep zero the logistic noise via ``noise_ratio=0``
+    (their ``binary_concrete_logits`` scales the noise by it); simple/
+    triplet have no such knob, so ``det_rand`` pins U=0.5 → noise exactly 0.
+    """
+    ref = _reference_model(variant, latent, in_ch)
+    model, params = _svtpu_from(
+        ref, variant, latent,
+        input_hw=shape[-2:], in_channels=in_ch, out_channels=in_ch)
+
+    x = torch.rand(batch, 3, in_ch, *shape[-2:])
+    with torch.no_grad(), det_rand():
+        if variant in ("contrastive", "percep"):
+            out_t = ref(x, temperature=temperature, hard=False,
+                        noise_ratio=0.0)
+        else:
+            out_t = ref(x, temperature=temperature, hard=False)
+
+    xj = jnp.asarray(x.numpy().transpose(0, 1, 3, 4, 2))   # NCHW→NHWC
+    out = model.apply(params, xj, temperature, False, deterministic=True)
+
     rec_j = np.asarray(out.x_recon).transpose(0, 1, 4, 2, 3)
-    np.testing.assert_allclose(rec_j, rec_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(rec_j, out_t[0].numpy(),
+                               rtol=1e-3, atol=1e-4)
+    if variant == "simple":
+        # simple returns (x_recon, logits[B*T, L])
+        # (``simple_RBVAE_model.py:193``).
+        logits_t = out_t[1].reshape(batch, 3, latent).numpy()
+        np.testing.assert_allclose(np.asarray(out.logits), logits_t,
+                                   rtol=1e-3, atol=1e-4)
+    else:
+        # (x_recon, h_seq, z_seq) (``contrastive_RBVAE_model.py:169``).
+        np.testing.assert_allclose(np.asarray(out.h_seq), out_t[1].numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.z_seq), out_t[2].numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_forward_parity_contrastive_genuine():
+    _forward_parity("contrastive", (256, 256))
+
+
+def test_forward_parity_triplet_genuine():
+    _forward_parity("triplet", (256, 256))
+
+
+def test_forward_parity_simple_genuine():
+    # batch=1: the genuine simple model crashes for B>1 — its
+    # ``d_seq.view(B*T, ...)`` (``simple_RBVAE_model.py:189``) is invalid
+    # on the non-contiguous batch-first LSTM output. At B=1 the view is
+    # legal and the genuine forward runs.
+    _forward_parity("simple", (64, 64), batch=1)
+
+
+def test_forward_parity_percep_genuine():
+    _forward_parity("percep", (88, 160), in_ch=4, latent=8)
 
 
 def test_checkpoint_dict_unwrapping():
-    torch.manual_seed(1)
-    twin = TorchTwin().eval()
-    cfg = rbvae_variant("contrastive", latent_dim=LATENT, input_hw=(RES, RES))
-    ckpt = {"epoch": 3, "model_state_dict": twin.state_dict(),
+    ref = _reference_model("contrastive")
+    cfg = rbvae_variant("contrastive", latent_dim=LATENT)
+    ckpt = {"epoch": 3, "model_state_dict": ref.state_dict(),
             "consistency_score": 0.9}
     params = convert_rbvae(ckpt, cfg)
     assert "encoder_cnn" in params["params"]
 
 
-def test_bitmatch_vs_torch_reference_codes():
-    """Fidelity metric: ported checkpoint must produce 100% bit-identical
-    hard codes vs the torch model in deterministic mode."""
-    from svtpu.evaluation.bitmatch import bit_match, codes_from_torch_checkpoint
+def test_bitmatch_vs_genuine_reference_codes():
+    """Fidelity headline: a ported checkpoint of the GENUINE reference
+    model produces 100% bit-identical hard codes in deterministic mode
+    (the reference eval encodes per-frame T=1 sequences at temp 0.2,
+    ``embedding_matching.py:264``)."""
+    from svtpu.evaluation.bitmatch import (bit_match,
+                                           codes_from_torch_checkpoint)
 
-    torch.manual_seed(2)
-    twin = TorchTwin().eval()
-    cfg = rbvae_variant("contrastive", latent_dim=LATENT, input_hw=(RES, RES))
-    x = torch.rand(12, 3, RES, RES)
+    ref = _reference_model("contrastive")
+    x = torch.rand(12, 1, 3, 256, 256)
     with torch.no_grad():
-        # torch codes: per-frame T=1 encode, no noise, hard threshold
-        _, h_t, _, _ = twin.forward_no_noise(x[:, None], 0.2)
-        torch_codes = (torch.sigmoid(h_t[:, 0] / 0.2) > 0.5).float().numpy()
+        z = ref.encode(x, temperature=0.2, hard=True, noise_ratio=0.0)
+    torch_codes = z[:, 0].numpy()
 
-    frames = x.numpy().transpose(0, 2, 3, 1)
-    codes = codes_from_torch_checkpoint(twin.state_dict(), cfg, frames,
+    cfg = rbvae_variant("contrastive", latent_dim=LATENT)
+    frames = x[:, 0].numpy().transpose(0, 2, 3, 1)
+    codes = codes_from_torch_checkpoint(ref.state_dict(), cfg, frames,
                                         temperature=0.2)
     m = bit_match(codes, torch_codes)
     assert m["bit_match_pct"] == 100.0

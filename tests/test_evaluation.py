@@ -14,7 +14,7 @@ from svtpu.evaluation.consistency import (evaluate_consistency,
 from svtpu.evaluation.hamming import (adjacent_hamming, evaluate_hamming,
                                       modal_codes)
 from svtpu.evaluation.linear_probe import evaluate_linear_probe
-from svtpu.evaluation.projections import evaluate_projections
+from svtpu.evaluation.projections import evaluate_projections, project
 from svtpu.models.rbvae import Seq2SeqBinaryVAE
 from svtpu.ops.image import add_gaussian_noise, add_occlusion
 
@@ -127,3 +127,32 @@ def test_distributed_initialize_noop():
     from svtpu.parallel.distributed import initialize
 
     assert initialize() is False      # single-process: safe no-op
+
+
+def test_umap_min_separates_blobs():
+    """First-party minimal UMAP (svtpu/evaluation/umap_min.py): three
+    well-separated 10-D Gaussian blobs must land in three separated 2-D
+    clusters (intra-cluster spread << inter-centroid distance)."""
+    from svtpu.evaluation.umap_min import umap_embed
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 10, (3, 10))
+    x = np.concatenate([c + rng.normal(0, 0.3, (40, 10)) for c in centers])
+    labels = np.repeat(np.arange(3), 40)
+    xy = umap_embed(x, n_neighbors=10, n_epochs=150, seed=0)
+    assert xy.shape == (120, 2) and np.isfinite(xy).all()
+    cents = np.stack([xy[labels == k].mean(0) for k in range(3)])
+    intra = max(np.linalg.norm(xy[labels == k] - cents[k], axis=1).mean()
+                for k in range(3))
+    inter = min(np.linalg.norm(cents[i] - cents[j])
+                for i in range(3) for j in range(i + 1, 3))
+    assert inter > 2.5 * intra, (inter, intra)
+
+
+def test_projection_umap_fallback(tmp_path):
+    """project(method='umap') produces coordinates via the minimal
+    implementation when umap-learn is absent (it is, here)."""
+    rng = np.random.default_rng(1)
+    codes = rng.uniform(size=(60, 8))
+    xy = project(codes, "umap", seed=0)
+    assert xy is not None and xy.shape == (60, 2)

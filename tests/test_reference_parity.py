@@ -33,7 +33,8 @@ REF = "/root/reference/src/stable-diffusion"
 if not os.path.isdir(REF):
     pytest.skip("reference tree unavailable", allow_module_level=True)
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)  # append, not front-insert: the untrusted vendored
+    # tree must not shadow stdlib/installed packages (ADVICE r2)
 try:
     from ldm.modules.diffusionmodules.model import (Decoder as RefDecoder,
                                                     Encoder as RefEncoder)
