@@ -238,9 +238,12 @@ def bench_trunk_ab(batch=512, reps=24):
     frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
                                       dtype=np.uint8))
     out = {}
-    for tag, flag in (("xla", False), ("pallas_trunk", True)):
+    for tag, flag, blk in (("xla", False, 1), ("pallas_trunk", True, 1),
+                           ("pallas_trunk_b2", True, 2),
+                           ("pallas_trunk_b4", True, 4)):
         cfg = rbvae_variant("contrastive", latent_dim=50,
-                            compute_dtype="bfloat16", pallas_trunk=flag)
+                            compute_dtype="bfloat16", pallas_trunk=flag,
+                            pallas_trunk_block=blk)
         model = Seq2SeqBinaryVAE(cfg)
         params = model.init({"params": jax.random.key(0)},
                             jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
@@ -253,8 +256,13 @@ def bench_trunk_ab(batch=512, reps=24):
                                deterministic=False,
                                bc_rng=k).astype(jnp.uint8)
 
-        for i in range(8):
-            np.asarray(enc(params, frames, jax.random.key(100 + i)))
+        try:
+            for i in range(8):
+                np.asarray(enc(params, frames, jax.random.key(100 + i)))
+        except Exception as e:  # e.g. VMEM overflow at big blocks
+            print(json.dumps({"bench": "trunk_ab", "path": tag,
+                              "error": str(e)[:200]}))
+            continue
         trials = []
         for t in range(5):
             t0 = time.perf_counter()
@@ -265,8 +273,13 @@ def bench_trunk_ab(batch=512, reps=24):
         out[tag] = float(np.median(trials))
         print(json.dumps({"bench": "trunk_ab", "path": tag,
                           "frames_per_sec": round(out[tag], 1)}))
-    print(json.dumps({"bench": "trunk_ab", "pallas_over_xla":
-                      round(out["pallas_trunk"] / out["xla"], 3)}))
+    pal = [v for k, v in out.items() if k != "xla"]
+    if pal and "xla" in out:
+        print(json.dumps({
+            "bench": "trunk_ab",
+            "pallas_over_xla": round(out.get("pallas_trunk", 0)
+                                     / out["xla"], 3),
+            "best_pallas_over_xla": round(max(pal) / out["xla"], 3)}))
 
 
 def bench_convopt_train_ab():
@@ -542,6 +555,299 @@ def bench_encode_breakdown(batch=512, reps=32):
                       "full_fps": round(batch / full, 0)}))
 
 
+def _xla_flops(compiled) -> float:
+    """XLA's own FLOP count for a compiled executable (0 if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mk_trainer(batch=32, remat=False, ctxfree=False, stage=True,
+                contrast_on="p", n_frames=480):
+    """Flagship-geometry trainer on synthetic chinchess-shaped data."""
+    from svtpu.config import TrainConfig, VideoMeta, rbvae_variant
+    from svtpu.data.segments import split_segments
+    from svtpu.training.trainer import Trainer
+
+    class Store:
+        def __init__(self):
+            r = np.random.default_rng(0)
+            self.array = r.integers(0, 255, (n_frames, 256, 256, 3),
+                                    dtype=np.uint8)
+            self._row = {i: i for i in range(n_frames)}
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def rows(self, idx):
+            return np.asarray(idx)
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    meta = VideoMeta("b", flags=(74, 206, 282, 389), last_frame=n_frames - 1,
+                     grey_out=10)
+    splits = split_segments(meta.state_segments())
+    mcfg = rbvae_variant("contrastive", latent_dim=50,
+                         compute_dtype="bfloat16", remat=remat)
+    tcfg = TrainConfig(batch_size=batch, contrast_on=contrast_on,
+                       contextfree_contrast=ctxfree, margin=3.5,
+                       noise_ratio=0.3, beta_kl=0.2, alpha=4.0,
+                       stage_frames=stage)
+    return Trainer(mcfg, tcfg, Store(), splits, meta.flags)
+
+
+def _step_time(tr, reps=4, trials=5, warmup=8):
+    """(median step seconds, frames/step, XLA flops/step) for one config."""
+    state = tr.init_state()
+    step = tr._make_train_step()
+    staged = tr._bank is not None
+    batches = (tr.train_batcher.epoch_indices(0) if staged
+               else tr.train_batcher.epoch(0))
+    b = jax.device_put(jnp.asarray(next(iter(batches))), tr._bsh)
+    key = jax.random.key(0)
+    lowered = step.lower(state, b, key, tr._bank)
+    compiled = lowered.compile()
+    flops = _xla_flops(compiled)
+    for _ in range(warmup):
+        state, m = step(state, b, key, tr._bank)
+    float(m["total_loss"])
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, b, key, tr._bank)
+        float(m["total_loss"])
+        ts.append((time.perf_counter() - t0) / reps)
+    if staged:
+        frames = int(np.prod(np.asarray(b).shape[:3]))
+    else:
+        frames = int(np.prod(b.shape[:3]))
+    return float(np.median(ts)), frames, flops
+
+
+def bench_train_path():
+    """The round-2 encode treatment applied to the TRAIN path (VERDICT r2
+    item 5): FLOP-counted MFU for the fused pair step (flagship objective),
+    the contextfree_contrast extra-encode cost, the remat A/B, and staged
+    HBM bank vs host-gather epoch time — all measured, flagship geometry
+    (contrastive 256², latent 50, bf16, batch 32 pairs x 5 states)."""
+    PEAK = 197e12   # v5e bf16
+
+    results = {}
+    for tag, kw in (("flagship (ctxfree)", dict(ctxfree=True)),
+                    ("plain contrast", dict(ctxfree=False)),
+                    ("plain + remat", dict(ctxfree=False, remat=True))):
+        tr = _mk_trainer(**kw)
+        dt, frames, flops = _step_time(tr)
+        row = {"bench": "train_path", "config": tag,
+               "batch_frames": frames,
+               "step_ms": round(dt * 1e3, 2),
+               "frames_per_sec": round(frames / dt, 1)}
+        if flops:
+            row["xla_gflops_per_step"] = round(flops / 1e9, 1)
+            row["tflops"] = round(flops / dt / 1e12, 1)
+            row["mfu_pct"] = round(flops / dt / PEAK * 100, 1)
+        results[tag] = row
+        print(json.dumps(row), flush=True)
+
+    # remat's actual payoff: max per-chip batch. Probe growing batches.
+    for remat in (False, True):
+        best = None
+        for batch in (64, 128, 256):
+            try:
+                tr = _mk_trainer(batch=batch, ctxfree=False, remat=remat)
+                dt, frames, _ = _step_time(tr, reps=2, trials=3)
+                best = {"batch_pairs": batch, "batch_frames": frames,
+                        "step_ms": round(dt * 1e3, 2),
+                        "frames_per_sec": round(frames / dt, 1)}
+                print(json.dumps({"bench": "train_path_maxbatch",
+                                  "remat": remat, **best}), flush=True)
+            except Exception as e:  # OOM etc.
+                print(json.dumps({"bench": "train_path_maxbatch",
+                                  "remat": remat, "batch_pairs": batch,
+                                  "error": str(e)[:200]}), flush=True)
+                break
+
+
+def bench_staged_vs_host(epochs=3):
+    """Staged HBM frame bank vs per-step host gather+transfer: full train
+    epoch wall time (train batches only; same batcher, same seed) —
+    replaces the previously uncited '5-6x' claim with a measured number."""
+    from svtpu.data.prefetch import prefetch_to_device
+
+    out = {}
+    for tag, stage in (("staged_bank", True), ("host_gather", False)):
+        tr = _mk_trainer(ctxfree=True, stage=stage)
+        state = tr.init_state()
+        step = tr._make_train_step()
+        key = jax.random.key(0)
+        staged = tr._bank is not None
+        assert staged == stage
+
+        def one_epoch(epoch):
+            nonlocal state
+            batches = (tr.train_batcher.epoch_indices(epoch) if staged
+                       else tr.train_batcher.epoch(epoch))
+            m = None
+            for b in prefetch_to_device(batches, tr._bsh):
+                state, m = step(state, b, key, tr._bank)
+            float(m["total_loss"])
+
+        one_epoch(0)   # compile + warm
+        one_epoch(1)
+        t0 = time.perf_counter()
+        for e in range(2, 2 + epochs):
+            one_epoch(e)
+        dt = (time.perf_counter() - t0) / epochs
+        out[tag] = dt
+        print(json.dumps({"bench": "staged_vs_host", "path": tag,
+                          "epoch_sec": round(dt, 3)}), flush=True)
+    print(json.dumps({"bench": "staged_vs_host", "staged_speedup":
+                      round(out["host_gather"] / out["staged_bank"], 2)}),
+          flush=True)
+
+
+def bench_sd_encoder_breakdown(batch=8, reps=4):
+    """SD AutoencoderKL encoder at 1280x704: FLOP-counted MFU for the full
+    path + per-stage (conv_in / levels / mid attn / out) timing with the
+    readback-cancelling protocol (VERDICT r2 item 8)."""
+    from svtpu.config import PerceptualConfig
+    from svtpu.models.autoencoder_kl import (AttnBlock, AutoencoderKL,
+                                             Downsample, GroupNormSiLU,
+                                             ResnetBlock, _conv)
+
+    PEAK = 197e12
+    cfg = PerceptualConfig()
+    model = AutoencoderKL(cfg)
+    x0 = jnp.zeros((1, 704, 1280, 3), jnp.float32)
+    params = model.init({"params": jax.random.key(0)}, x0)
+    enc = params["params"]["encoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    rng = np.random.default_rng(0)
+    x_in = jnp.asarray(rng.normal(size=(batch, 704, 1280, 3)), jnp.float32)
+
+    # --- full path: time + XLA FLOPs
+    @jax.jit
+    def full(p, x):
+        return model.apply(p, x, method=AutoencoderKL.encode)
+
+    lowered = full.lower(params, x_in)
+    compiled = lowered.compile()
+    flops = _xla_flops(compiled)
+
+    def timed_scalar(fn, *args):
+        f = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+        for _ in range(8):
+            float(np.asarray(f(*args)))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = f(*args)
+        float(np.asarray(o))
+        return (time.perf_counter() - t0) / reps
+
+    t_full = timed_scalar(lambda x: model.apply(params, x,
+                                                method=AutoencoderKL.encode),
+                          x_in)
+    row = {"bench": "sd_encoder_mfu", "batch": batch,
+           "ms_per_frame": round(t_full / batch * 1e3, 2),
+           "frames_per_sec": round(batch / t_full, 2)}
+    if flops:
+        row["xla_gflops_per_frame"] = round(flops / batch / 1e9, 1)
+        row["tflops"] = round(flops / t_full / 1e12, 1)
+        row["mfu_pct"] = round(flops / t_full / PEAK * 100, 1)
+    print(json.dumps(row), flush=True)
+
+    # --- per-stage: rebuild the encoder stage sequence with bound params
+    ch = cfg.ch
+
+    def conv_flops(h, w, cin, cout, k=3):
+        return 2.0 * h * w * cout * k * k * cin
+
+    def res_flops(h, w, cin, cout):
+        f = conv_flops(h, w, cin, cout) + conv_flops(h, w, cout, cout)
+        if cin != cout:
+            f += conv_flops(h, w, cin, cout, k=1)
+        return f
+
+    stages = []
+
+    def add_res(name, cout):
+        mod = ResnetBlock(cout, dtype=dtype, name=None)
+        p = enc[name]
+        stages.append((name,
+                       lambda x, mod=mod, p=p: mod.apply({"params": p}, x),
+                       lambda h, w, cin, cout=cout: res_flops(h, w, cin,
+                                                              cout),
+                       cout))
+
+    stages.append(("conv_in",
+                   lambda x: _conv(ch, dtype=dtype).apply(
+                       {"params": enc["conv_in"]}, x.astype(dtype)),
+                   lambda h, w, cin: conv_flops(h, w, cin, ch), ch))
+    for i, mult in enumerate(cfg.ch_mult):
+        for b in range(cfg.num_res_blocks):
+            add_res(f"down_{i}_block_{b}", ch * mult)
+        if i != len(cfg.ch_mult) - 1:
+            cout = ch * mult
+            p = enc[f"down_{i}_downsample"]
+            stages.append((f"down_{i}_downsample",
+                           lambda x, p=p: Downsample(dtype=dtype).apply(
+                               {"params": p}, x),
+                           lambda h, w, cin, cout=cout: conv_flops(
+                               h // 2, w // 2, cin, cout), cout))
+    add_res("mid_block_1", ch * cfg.ch_mult[-1])
+    C = ch * cfg.ch_mult[-1]
+    p_attn = enc["mid_attn_1"]
+    stages.append(("mid_attn_1",
+                   lambda x: AttnBlock(dtype=dtype).apply(
+                       {"params": p_attn}, x),
+                   lambda h, w, cin: (4 * conv_flops(h, w, cin, cin, k=1)
+                                      + 2 * 2.0 * (h * w) ** 2 * cin), C))
+    add_res("mid_block_2", C)
+    p_no, p_co = enc["norm_out"], enc["conv_out"]
+    stages.append(("norm_out+conv_out+quant",
+                   lambda x: _conv(2 * cfg.embed_dim, 1, 1, 0,
+                                   dtype=dtype).apply(
+                       {"params": params["params"]["quant_conv"]},
+                       _conv(2 * cfg.z_channels, dtype=dtype).apply(
+                           {"params": p_co},
+                           GroupNormSiLU(dtype=dtype).apply(
+                               {"params": p_no}, x))),
+                   lambda h, w, cin: (conv_flops(h, w, cin,
+                                                 2 * cfg.z_channels)
+                                      + conv_flops(h, w, 2 * cfg.z_channels,
+                                                   2 * cfg.embed_dim, k=1)),
+                   2 * cfg.embed_dim))
+
+    x = x_in
+    rows, total = [], 0.0
+    for name, fn, fl, cout in stages:
+        h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+        t_with = timed_scalar(fn, x)
+        out = jax.jit(fn)(x)
+        t_sum = timed_scalar(lambda a: a, out)
+        t = max(t_with - t_sum, 1e-9)
+        f = fl(h, w, cin) * batch
+        rows.append({"stage": name, "ms": round(t * 1e3, 2),
+                     "tflops": round(f / t / 1e12, 1),
+                     "pct_peak": round(f / t / PEAK * 100, 1)})
+        total += t
+        x = out
+    for r in rows:
+        r["pct_of_path"] = round(r["ms"] / (total * 1e3) * 100, 1)
+        print(json.dumps({"bench": "sd_encoder_breakdown", **r}),
+              flush=True)
+    print(json.dumps({"bench": "sd_encoder_breakdown", "stage": "SUM",
+                      "ms": round(total * 1e3, 2),
+                      "full_path_ms": round(t_full * 1e3, 2)}), flush=True)
+
+
 def bench_data_plane(tmpdir="/tmp/svtpu_bench_frames"):
     import os
     from pathlib import Path
@@ -588,6 +894,9 @@ if __name__ == "__main__":
         "attention": bench_flash_attention,
         "attention_bwd": bench_attention_backward,
         "breakdown": bench_encode_breakdown,
+        "train_path": bench_train_path,
+        "staged_vs_host": bench_staged_vs_host,
+        "sd_breakdown": bench_sd_encoder_breakdown,
         "conv0_ab": bench_conv0_ab,
         "convopt_train_ab": bench_convopt_train_ab,
         "trunk_ab": bench_trunk_ab,

@@ -128,6 +128,7 @@ def cmd_train(args):
         eval_noise_ratio=args.eval_noise_ratio,
         margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
         contrast_on=args.contrast_on,
+        triplet_distance=args.triplet_distance,
         contextfree_contrast=args.contextfree_contrast,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
@@ -140,12 +141,37 @@ def cmd_train(args):
     if args.variant == "simple":
         hist = trainer.train_simple(meta.state_segments(),
                                     num_epochs=args.epochs)
-        print(json.dumps(hist["train_losses"][-1]))
+        # Loss trajectory (the reference's simple loop only prints per-epoch
+        # losses, ``simple_RBVAE_train.py:181-186``): first/last + deciles.
+        n = len(hist["train_losses"])
+        for e in sorted({0, n - 1, *range(0, n, max(1, n // 10))}):
+            print(json.dumps({"epoch": e, **hist["train_losses"][e]}))
+        if args.save_path:
+            from svtpu.training.checkpoints import save_params_npz
+            save_params_npz(hist["final_state"].params,
+                            str(args.save_path) + "_params.npz")
+            print(f"saved params to {args.save_path}_params.npz")
         return
     hist = trainer.train(num_epochs=args.epochs, save_path=args.save_path,
                          resume=args.resume)
     print(f"best {tcfg.select_by}: {hist['best_metric']:.4f} "
           f"at epoch {hist['best_epoch']}")
+    if args.history_out:
+        # Full per-epoch metric trajectories (JSONL: one epoch per line,
+        # train + val merged) — the raw material for instability/erosion
+        # diagnosis across runs.
+        import pathlib
+        p = pathlib.Path(args.history_out)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "w") as f:
+            for e, (t, v) in enumerate(zip(hist["train_losses"],
+                                           hist["val_losses"])):
+                f.write(json.dumps({"epoch": e,
+                                    **{k: round(float(x), 6)
+                                       for k, x in t.items()},
+                                    **{k: round(float(x), 6)
+                                       for k, x in v.items()}}) + "\n")
+        print(f"history -> {p}")
 
 
 def cmd_sweep(args):
@@ -153,7 +179,7 @@ def cmd_sweep(args):
     from svtpu.sweeps.runner import run_sweep
 
     meta = _video_meta(args)
-    if args.variant == "percep":
+    if args.variant.startswith("percep"):
         store = EmbeddingStore(args.embeddings)
     else:
         store, _ = _pixel_store(args, meta)
@@ -482,6 +508,11 @@ def main(argv=None):
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("--beta-kl", type=float, default=1.0)
     sp.add_argument("--contrast-on", default="h", choices=["h", "z", "p"])
+    sp.add_argument("--triplet-distance", default="l2",
+                    choices=["l2", "js"],
+                    help="triplet objective distance: l2 (reference) or "
+                         "the Bernoulli-JS variant (reference's dead code, "
+                         "fixed)")
     sp.add_argument("--contextfree-contrast", action="store_true",
                     help="also apply the contrastive margins to T=1 "
                          "encodes (what the eval protocol measures)")
@@ -497,6 +528,8 @@ def main(argv=None):
     sp.add_argument("--dtype", default="bfloat16")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--save-path")
+    sp.add_argument("--history-out",
+                    help="write per-epoch train+val metrics as JSONL")
     sp.add_argument("--log-dir")
     sp.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in save-path")
@@ -506,7 +539,7 @@ def main(argv=None):
     _add_video_args(sp)
     sp.add_argument("--variant", default="contrastive",
                     choices=["contrastive", "percep", "triplet",
-                             "contrastive_z", "contrastive_p"])
+                             "contrastive_z", "contrastive_p", "percep_p"])
     sp.add_argument("--frames-dir")
     sp.add_argument("--embeddings")
     sp.add_argument("--resolution", type=int, default=256)

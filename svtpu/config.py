@@ -177,6 +177,11 @@ class RBVAEConfig:
     # (RESULTS.md round-2 breakdown). Contrastive/triplet pixel geometry
     # only; training always uses the XLA path (it needs the VJP).
     pallas_trunk: bool = False
+    # Images per Pallas-trunk grid step (>1 amortizes the per-step
+    # grid/copy overhead round 2 measured as the kernel's bound; the
+    # batch must divide by it or it falls back to 1). VMEM per step is
+    # ~2.6 MB/image double-buffered, so 2-4 is the useful range.
+    pallas_trunk_block: int = 1
     # Compute the first (thin, k3/s2/p1) conv via a 2x2 space-to-depth
     # transform: mathematically identical, but the MXU contraction axis
     # grows 9*C_in -> 16*C_in (the classic TPU conv0 trick). Same

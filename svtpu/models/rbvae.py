@@ -74,7 +74,8 @@ class ConvEncoder(nn.Module):
                 "pallas_trunk supports only the contrastive/triplet "
                 "pixel geometry")
             h = fused_conv01(h, wb[0][0], wb[0][1], wb[1][0], wb[1][1],
-                             interpret=jax.default_backend() != "tpu")
+                             interpret=jax.default_backend() != "tpu",
+                             block_n=c.pallas_trunk_block)
             h = conv2d_torch_apply(h, *wb[2], c.conv_stride,
                                    c.conv_padding, dtype)
         else:

@@ -113,6 +113,34 @@ def _conv1_kernel(me_ref, mo_ref, wa_ref, wb_ref, b_ref, o_ref):
     o_ref[0] = y.astype(o_ref.dtype).reshape(64, 64, 64)
 
 
+def _conv1_kernel_multi(n, me_ref, mo_ref, wa_ref, wb_ref, b_ref, o_ref):
+    """``n`` images per grid step (VERDICT r2 item 6 follow-up).
+
+    Round 2's standalone kernel was grid/copy-bound at one image per
+    step; the obvious fix — one cross-image ``[n*4096, 128]`` reshape —
+    is the exact shape cast Mosaic rejects. This variant amortizes the
+    per-step overhead WITHOUT that reshape: a static Python loop over
+    the ``n`` images of the block (per-image slices + matmuls, all the
+    shapes the single-image kernel already lowers), and the six per-image
+    ``[4096,128]@[128,64]`` matmuls fused into two ``[4096,384]@[384,64]``
+    (lane-axis concat over the three kernel rows — adjacent-tile copies,
+    no layout change), so the MXU sees fewer, deeper ops per step.
+    """
+    for i in range(n):
+        xe = jnp.maximum(me_ref[i], 0)                 # [64, 65, 128]
+        xo = jnp.maximum(mo_ref[i], 0)                 # [65, 65, 128]
+        cur, nxt = [], []
+        for plane, off in ((xo, 0), (xe, 0), (xo, 1)):
+            cur.append(plane[off:off + 64, 0:64].reshape(4096, 128))
+            nxt.append(plane[off:off + 64, 1:65].reshape(4096, 128))
+        acc = (jnp.dot(jnp.concatenate(cur, 1), wa_ref[:],
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(jnp.concatenate(nxt, 1), wb_ref[:],
+                         preferred_element_type=jnp.float32))
+        y = jnp.maximum(acc + b_ref[:], 0)
+        o_ref[i] = y.astype(o_ref.dtype).reshape(64, 64, 64)
+
+
 def _conv1_weights(w: jax.Array, dtype):
     """``[3,3,C,O]`` HWIO kernel → lane-major banks ``[3, 2C, O]``.
 
@@ -127,10 +155,10 @@ def _conv1_weights(w: jax.Array, dtype):
     return wa, wb
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_n"))
 def fused_conv01(x: jax.Array, w0: jax.Array, b0: jax.Array,
                  w1: jax.Array, b1: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, block_n: int = 1) -> jax.Array:
     """conv0 (XLA, polyphase) → ReLU → conv1 (Pallas) → ReLU.
 
     Args:
@@ -148,6 +176,30 @@ def fused_conv01(x: jax.Array, w0: jax.Array, b0: jax.Array,
     ME, MO = conv0_polyphase(x, w0, b0, dt)
     wa, wb = _conv1_weights(w1, dt)
     b1f = b1.reshape(1, 64).astype(jnp.float32)
+    n = block_n if block_n > 1 and B % block_n == 0 else 1
+    if n > 1:
+        # K-major banks for the fused per-image matmul: [3, 2C, O] →
+        # [3*2C, O] (row-major over dy, matching the lane-axis concat of
+        # the three dy slices inside the kernel).
+        wa = wa.reshape(-1, wa.shape[-1])
+        wb = wb.reshape(-1, wb.shape[-1])
+        return pl.pallas_call(
+            functools.partial(_conv1_kernel_multi, n),
+            grid=(B // n,),
+            in_specs=[
+                pl.BlockSpec((n, 64, 65, 128), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, 65, 65, 128), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n, 64, 64, 64), lambda b: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 64, 64, 64), dt),
+            interpret=interpret,
+        )(ME, MO, wa, wb, b1f)
     return pl.pallas_call(
         _conv1_kernel,
         grid=(B,),

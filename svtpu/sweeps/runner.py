@@ -36,7 +36,8 @@ def train_with_config(config: Dict, variant: str, store,
     # Sweep names may be space variants of a model family (e.g.
     # "contrastive_z" sweeps the contrastive model with contrast_on="z").
     model_variant = {"contrastive_z": "contrastive",
-                     "contrastive_p": "contrastive"}.get(variant, variant)
+                     "contrastive_p": "contrastive",
+                     "percep_p": "percep"}.get(variant, variant)
     mcfg = rbvae_variant(model_variant, latent_dim=int(config["latent_dim"]),
                          input_hw=input_hw, in_channels=in_ch,
                          out_channels=in_ch, compute_dtype=compute_dtype)
@@ -64,6 +65,9 @@ def train_with_config(config: Dict, variant: str, store,
         objective=str(config["objective"]),
         select_by=str(config["select_by"]),
         contrast_on=str(config.get("contrast_on", "h")),
+        contextfree_contrast=bool(config.get("contextfree_contrast", False)),
+        eval_noise_ratio=(None if config.get("eval_noise_ratio") is None
+                          else float(config["eval_noise_ratio"])),
         sep_target=float(config.get("sep_target", 3.0)),
     )
     trainer = Trainer(mcfg, tcfg, store, splits, video_meta.flags)

@@ -82,15 +82,38 @@ CONTRASTIVE_P_SPACE: Space = dict(
     contrast_on=("const", "p"),
 )
 
+# svtpu addition: the flagship objective searched on the PERCEP model
+# geometry (convs 256³ over SD latents, 4-layer LSTMs) — the search the
+# round-2 "honest negative" left unrun. Widened low end for beta_kl (KL
+# pressure is a collapse suspect at this trunk's logit statistics) and
+# noise_ratio (percep logits start much smaller than pixel logits, so the
+# pixel-tuned 0.3 noise can drown them); context-free term and decoupled
+# eval noise are part of the searched mechanism set.
+PERCEP_P_SPACE: Space = dict(
+    CONTRASTIVE_P_SPACE,
+    latent_dim=("choice", [25, 50]),
+    batch_size=("choice", [16, 32]),
+    learning_rate=("log_uniform", 1e-4, 3e-3),
+    beta_kl=("log_uniform", 0.005, 0.5),
+    noise_ratio=("uniform", 0.05, 0.3),
+    margin=("uniform", 1.0, 4.0),
+    alpha=("uniform", 2.0, 8.0),
+    contextfree_contrast=("const", True),
+    eval_noise_ratio=("const", 0.1),
+    num_epochs=("const", 300),
+)
+
 SPACES = {"contrastive": CONTRASTIVE_SPACE, "percep": PERCEP_SPACE,
           "triplet": TRIPLET_SPACE, "contrastive_z": CONTRASTIVE_Z_SPACE,
-          "contrastive_p": CONTRASTIVE_P_SPACE}
+          "contrastive_p": CONTRASTIVE_P_SPACE,
+          "percep_p": PERCEP_P_SPACE}
 
 METRIC = {"contrastive": ("best_consistency_score", "maximize"),
           "percep": ("best_consistency_score", "maximize"),
           "triplet": ("best_val_loss", "minimize"),
           "contrastive_z": ("best_combined_score", "maximize"),
-          "contrastive_p": ("best_combined_score", "maximize")}
+          "contrastive_p": ("best_combined_score", "maximize"),
+          "percep_p": ("best_combined_score", "maximize")}
 
 
 def sample(space: Space, rng: np.random.Generator) -> Dict[str, Any]:

@@ -59,3 +59,13 @@ def test_fused_conv01_matches_xla_interpret():
     assert out.shape == ref.shape == (B, 64, 64, 64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+    # Multi-image blocks (static in-kernel loop + K-concat matmuls) must
+    # be numerically identical to the single-image kernel's math.
+    out2 = fused_conv01(x, w0, b0, w1, b1, interpret=True, block_n=2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # Non-dividing block size falls back to the single-image grid.
+    out3 = fused_conv01(x, w0, b0, w1, b1, interpret=True, block_n=3)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
