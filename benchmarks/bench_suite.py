@@ -611,17 +611,20 @@ def _step_time(tr, reps=4, trials=5, warmup=8):
                else tr.train_batcher.epoch(0))
     b = jax.device_put(jnp.asarray(next(iter(batches))), tr._bsh)
     key = jax.random.key(0)
+    # AOT-compile once and EXECUTE the compiled object (calling the jit
+    # wrapper after lower().compile() would compile a second time through
+    # the relay's ~3 min/compile service).
     lowered = step.lower(state, b, key, tr._bank)
     compiled = lowered.compile()
     flops = _xla_flops(compiled)
     for _ in range(warmup):
-        state, m = step(state, b, key, tr._bank)
+        state, m = compiled(state, b, key, tr._bank)
     float(m["total_loss"])
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, m = step(state, b, key, tr._bank)
+            state, m = compiled(state, b, key, tr._bank)
         float(m["total_loss"])
         ts.append((time.perf_counter() - t0) / reps)
     if staged:
@@ -825,20 +828,35 @@ def bench_sd_encoder_breakdown(batch=8, reps=4):
                                                    2 * cfg.embed_dim, k=1)),
                    2 * cfg.embed_dim))
 
-    x = x_in
-    rows, total = [], 0.0
+    # Per-stage times by PREFIX differencing: time jit(stage_0..k -> scalar)
+    # for each k and attribute t_k - t_{k-1} to stage k. One remote compile
+    # per stage (the naive 3-compiles-per-stage protocol costs hours at the
+    # relay's ~3 min/compile service latency); the final scalar sum makes
+    # every prefix readback-cancelling, and the differencing cancels the
+    # sum-reduction overhead up to the (small) output-size delta. The SUM
+    # row vs full_path_ms quantifies the residual + fusion error.
+    def prefix(k):
+        def f(x):
+            for _, fn, _, _ in stages[:k + 1]:
+                x = fn(x)
+            return jnp.sum(x.astype(jnp.float32))
+        return f
+
+    shapes, x = [], x_in
     for name, fn, fl, cout in stages:
-        h, w, cin = x.shape[1], x.shape[2], x.shape[3]
-        t_with = timed_scalar(fn, x)
-        out = jax.jit(fn)(x)
-        t_sum = timed_scalar(lambda a: a, out)
-        t = max(t_with - t_sum, 1e-9)
+        shapes.append(tuple(x.shape))
+        x = jax.eval_shape(fn, x)
+    rows, total, t_prev = [], 0.0, 0.0
+    for k, (name, fn, fl, cout) in enumerate(stages):
+        t_k = timed_scalar(prefix(k), x_in)
+        t = max(t_k - t_prev, 1e-9)
+        t_prev = t_k
+        _, h, w, cin = shapes[k]
         f = fl(h, w, cin) * batch
         rows.append({"stage": name, "ms": round(t * 1e3, 2),
                      "tflops": round(f / t / 1e12, 1),
                      "pct_peak": round(f / t / PEAK * 100, 1)})
         total += t
-        x = out
     for r in rows:
         r["pct_of_path"] = round(r["ms"] / (total * 1e3) * 100, 1)
         print(json.dumps({"bench": "sd_encoder_breakdown", **r}),

@@ -113,10 +113,14 @@ def main():
     err = float(np.max(np.abs(got - ref)))
     results.append(check("fused_conv01_exactness_f32", err < 1e-3,
                          max_abs_err=err))
-    got4 = np.asarray(fused_conv01(xin, w0, b0, w1, b1, block_n=4))
-    err4 = float(np.max(np.abs(got4 - ref)))
-    results.append(check("fused_conv01_block4_exactness_f32", err4 < 1e-3,
-                         max_abs_err=err4))
+    try:
+        got4 = np.asarray(fused_conv01(xin, w0, b0, w1, b1, block_n=4))
+        err4 = float(np.max(np.abs(got4 - ref)))
+        results.append(check("fused_conv01_block4_exactness_f32",
+                             err4 < 1e-3, max_abs_err=err4))
+    except Exception as e:   # e.g. VMEM overflow — don't abort the suite
+        results.append(check("fused_conv01_block4_exactness_f32", False,
+                             error=str(e)[:160]))
 
     codes = {}
     for name, flag in (("xla", False), ("pallas", True)):

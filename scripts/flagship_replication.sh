@@ -23,5 +23,14 @@ for SEED in $SEEDS; do
     --save-path "data/ckpt/flagship_s$SEED" --resume \
     --history-out "results/flagship_replication/history_s$SEED.jsonl" \
     2>&1 | tail -3
+  # Held-out test re-eval, the round-2 protocol (10 trials, temp 0.2).
+  python -u -m svtpu.cli eval-consistency --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant contrastive \
+    --latent-dim 25 --ckpt "data/ckpt/flagship_s$SEED" \
+    --out-dir "results/flagship_replication/eval_s$SEED" 2>&1 | tail -4
+  python -u -m svtpu.cli eval-hamming --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant contrastive \
+    --latent-dim 25 --ckpt "data/ckpt/flagship_s$SEED" \
+    --out-dir "results/flagship_replication/eval_s$SEED" 2>&1 | tail -3
   echo "=== flagship seed $SEED done"
 done

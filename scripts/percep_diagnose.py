@@ -70,13 +70,22 @@ ABLATIONS = {
     "lstm2": {"_model": {"lstm_layers": 2}},
     "nosig": {"_model": {"decoder_sigmoid": False}},
     "anneal_fast": {"anneal_rate": 1e-3},
+    # Localization: the PIXEL-variant trunk (64-ch convs, 2-layer LSTM —
+    # the geometry the flagship recipe demonstrably works on) applied to
+    # the same embeddings. If this separates where the percep geometry
+    # collapses, the mechanism lives in the 256³-conv/4-layer-LSTM
+    # statistics, not in the data or the objective.
+    "pixelgeom": {"_variant": "contrastive"},
 }
 
 
 def run_one(tag, overrides, store, meta, epochs):
     mkw = dict(overrides.pop("_model", {}))
+    variant = overrides.pop("_variant", "percep")
+    if variant != "percep":
+        mkw.update(input_hw=(88, 160), in_channels=4, out_channels=4)
     splits = split_segments(meta.state_segments(), 0.1, 0.1)
-    mcfg = rbvae_variant("percep", latent_dim=25,
+    mcfg = rbvae_variant(variant, latent_dim=25,
                          compute_dtype="bfloat16", **mkw)
     tkw = dict(
         batch_size=16, learning_rate=3e-4, init_temperature=2.0,

@@ -216,7 +216,8 @@ def rbvae_variant(name: str, latent_dim: int = 32, *,
     to the contrastive model instead of raising.
     """
     name = {"contrastive_z": "contrastive",
-            "contrastive_p": "contrastive"}.get(name, name)
+            "contrastive_p": "contrastive",
+            "percep_p": "percep"}.get(name, name)
     base = dict(latent_dim=latent_dim, compute_dtype=compute_dtype)
     if name == "simple":
         cfg = dict(
