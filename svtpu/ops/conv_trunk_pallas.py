@@ -46,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# libtpu CRASHES (remote compile helper exit 1, diagnostic hidden by the
+# relay) compiling the multi-image kernel past an empirical batch
+# boundary — n=2: B<=104 ok, >=112 crash; n=4: B<=48 ok, >=64 crash —
+# while the single-image kernel compiles at any B (probed 2026-08-17
+# with a healthy service: fresh trivial kernels compiled in the same
+# session). fused_conv01 chunks the batch with lax.map so every
+# pallas_call stays under this boundary.
+_COMPILE_SAFE_B = {2: 96, 4: 48}
+
 
 def conv0_polyphase(x: jax.Array, w0: jax.Array, b0: jax.Array, dtype):
     """conv0 (k3/s2/p1) evaluated directly in polyphase form.
@@ -183,23 +192,41 @@ def fused_conv01(x: jax.Array, w0: jax.Array, b0: jax.Array,
         # the three dy slices inside the kernel).
         wa = wa.reshape(-1, wa.shape[-1])
         wb = wb.reshape(-1, wb.shape[-1])
-        return pl.pallas_call(
-            functools.partial(_conv1_kernel_multi, n),
-            grid=(B // n,),
-            in_specs=[
-                pl.BlockSpec((n, 64, 65, 128), lambda b: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n, 65, 65, 128), lambda b: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((n, 64, 64, 64), lambda b: (b, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 64, 64, 64), dt),
-            interpret=interpret,
-        )(ME, MO, wa, wb, b1f)
+
+        def call(me, mo):
+            nb = me.shape[0]
+            return pl.pallas_call(
+                functools.partial(_conv1_kernel_multi, n),
+                grid=(nb // n,),
+                in_specs=[
+                    pl.BlockSpec((n, 64, 65, 128), lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n, 65, 65, 128), lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((n, 64, 64, 64),
+                                       lambda b: (b, 0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nb, 64, 64, 64), dt),
+                interpret=interpret,
+            )(me, mo, wa, wb, b1f)
+
+        limit = _COMPILE_SAFE_B.get(n, 48)
+        if B > limit:
+            chunk = next((c for c in range(limit, n - 1, -n)
+                          if B % c == 0), None)
+            if chunk is None:
+                n = 1  # no safe chunking; fall back to single-image
+            else:
+                mec = ME.reshape(B // chunk, chunk, *ME.shape[1:])
+                moc = MO.reshape(B // chunk, chunk, *MO.shape[1:])
+                out = jax.lax.map(lambda t: call(t[0], t[1]), (mec, moc))
+                return out.reshape(B, 64, 64, 64)
+        if n > 1:
+            return call(ME, MO)
     return pl.pallas_call(
         _conv1_kernel,
         grid=(B,),

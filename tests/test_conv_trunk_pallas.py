@@ -69,3 +69,26 @@ def test_fused_conv01_matches_xla_interpret():
     out3 = fused_conv01(x, w0, b0, w1, b1, interpret=True, block_n=3)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_conv01_chunked_multi(monkeypatch):
+    """B past the compile-safe boundary routes through the lax.map
+    chunked path and stays numerically identical."""
+    from svtpu.ops import conv_trunk_pallas as ctp
+
+    monkeypatch.setattr(ctp, "_COMPILE_SAFE_B", {2: 4, 4: 4})
+    rng = np.random.default_rng(2)
+    B = 8  # > limit 4 -> two lax.map chunks of 4
+    x = _rand(rng, B, 256, 256, 3)
+    w0 = _rand(rng, 3, 3, 3, 64, scale=0.1)
+    w1 = _rand(rng, 3, 3, 64, 64, scale=0.05)
+    b0, b1 = _rand(rng, 64), _rand(rng, 64)
+
+    conv = Conv2dTorch(64, 3, 2, 1)
+    h = conv.apply({"params": {"kernel": w0, "bias": b0}}, x)
+    h = conv.apply({"params": {"kernel": w1, "bias": b1}}, jax.nn.relu(h))
+    ref = jax.nn.relu(h)
+
+    out = ctp.fused_conv01(x, w0, b0, w1, b1, interpret=True, block_n=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
