@@ -38,9 +38,13 @@ def train_with_config(config: Dict, variant: str, store,
     model_variant = {"contrastive_z": "contrastive",
                      "contrastive_p": "contrastive",
                      "percep_p": "percep"}.get(variant, variant)
+    mkw = {}
+    if "lstm_layers" in config:  # architecture factor (percep_p space)
+        mkw["lstm_layers"] = int(config["lstm_layers"])
     mcfg = rbvae_variant(model_variant, latent_dim=int(config["latent_dim"]),
                          input_hw=input_hw, in_channels=in_ch,
-                         out_channels=in_ch, compute_dtype=compute_dtype)
+                         out_channels=in_ch, compute_dtype=compute_dtype,
+                         **mkw)
     # num_steps_to_update derives from total steps / num_temp_updates
     # (``contrastive_RBVAE_wandb_sweep.py:92-97``). Pairs per epoch =
     # ceil(longest state / 2); steps = ceil(pairs / batch).

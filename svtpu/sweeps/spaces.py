@@ -92,6 +92,12 @@ CONTRASTIVE_P_SPACE: Space = dict(
 PERCEP_P_SPACE: Space = dict(
     CONTRASTIVE_P_SPACE,
     latent_dim=("choice", [25, 50]),
+    # Architecture factor: the round-3 collapse diagnosis localized the
+    # percep failure to LSTM depth (4-layer -> logits stuck near 0 at
+    # the flagship lr; 2-layer separates 24/25 bits in 200 epochs), so
+    # the search covers both depths (reference fixes 4:
+    # ``percep_RBVAE_model.py:98,111``).
+    lstm_layers=("choice", [2, 4]),
     batch_size=("choice", [16, 32]),
     learning_rate=("log_uniform", 1e-4, 3e-3),
     beta_kl=("log_uniform", 0.005, 0.5),
