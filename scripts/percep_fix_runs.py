@@ -38,6 +38,10 @@ from percep_flagship_demo import synth_embeddings  # noqa: E402
 RUNS = {
     "lstm2_full": {"epochs": 1000, "_model": {"lstm_layers": 2}},
     "ref4_lr1e3": {"epochs": 750, "learning_rate": 1e-3},
+    # Framework-level fix: keep the reference 4-layer geometry but give the
+    # stack an identity path (svtpu ``lstm_residual``) — tests whether the
+    # diagnosed depth-starvation is curable without changing depth or lr.
+    "ref4_residual": {"epochs": 750, "_model": {"lstm_residual": True}},
 }
 
 

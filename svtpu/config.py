@@ -146,6 +146,11 @@ class RBVAEConfig:
     # wired to latent_dim in every reference variant
     # (``contrastive_RBVAE_model.py:139-140``).
     lstm_layers: int = 2
+    # svtpu extension (off by default — reference has plain stacks): add an
+    # identity path around width-preserving LSTM layers. Motivated by the
+    # round-3 percep diagnosis: 4 plain stacked LSTMs starve the
+    # binarization logits (RESULTS.md "Percep collapse").
+    lstm_residual: bool = False
     # Where binarization happens: "pre_rnn" = on CNN logits before the LSTMs
     # (simple, ``simple_RBVAE_model.py:177``); "post_rnn" = on encoder-LSTM
     # output (all others, ``contrastive_RBVAE_model.py:158``).

@@ -144,9 +144,9 @@ class Seq2SeqBinaryVAE(nn.Module):
         self.encoder_cnn = enc_cls(c, name="encoder_cnn")
         self.decoder_cnn = dec_cls(c, name="decoder_cnn")
         self.encoder_rnn = LSTM(c.latent_dim, c.lstm_layers, dtype=dtype,
-                                name="encoder_rnn")
+                                residual=c.lstm_residual, name="encoder_rnn")
         self.decoder_rnn = LSTM(c.latent_dim, c.lstm_layers, dtype=dtype,
-                                name="decoder_rnn")
+                                residual=c.lstm_residual, name="decoder_rnn")
 
     def _encode_to_latent(self, x, temperature, hard, noise_scale, key,
                           deterministic, sampler: str = "xla",

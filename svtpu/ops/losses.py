@@ -111,10 +111,15 @@ def js_distance_bernoulli(p: jax.Array, q: jax.Array,
     2-category JS divergence, mean over the category axis, mean over batch,
     then sqrt — yielding a ``[latent]`` vector of distances.
     """
-    p = jnp.clip(p, eps, 1.0 - eps)
-    q = jnp.clip(q, eps, 1.0 - eps)
-    p2 = jnp.stack([p, 1.0 - p], axis=-1)
-    q2 = jnp.stack([q, 1.0 - q], axis=-1)
+    # Compute in f32 and clip the stacked 2-category probs: under bf16
+    # compute the relaxed z saturates to exactly 1.0 (1 - 1e-8 is not
+    # representable), so clipping p alone leaves 1-p == 0 and the KL term
+    # for the off category becomes 0 * log(0) = NaN (observed: triplet js
+    # run NaN from epoch 0, results/eval_triplet_js round 3).
+    p = p.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    p2 = jnp.clip(jnp.stack([p, 1.0 - p], axis=-1), eps, 1.0)
+    q2 = jnp.clip(jnp.stack([q, 1.0 - q], axis=-1), eps, 1.0)
     m2 = 0.5 * (p2 + q2)
     # Elementwise KL terms target*(log target - log m) (torch kl_div with
     # log_target inputs, reduction='none').

@@ -33,6 +33,13 @@ class LSTM(nn.Module):
     hidden_size: int
     num_layers: int = 1
     dtype: jnp.dtype = jnp.float32
+    # Residual stacking: h_l = h_{l-1} + LSTM_l(h_{l-1}) wherever the
+    # layer preserves width. svtpu extension (the reference has none):
+    # motivated by the round-3 percep diagnosis — 4 stacked plain LSTMs
+    # starve the downstream binarization logits (|h| stuck ~0.01-0.09 at
+    # the flagship lr, RESULTS.md "Percep collapse"); the identity path
+    # restores gradient/signal flow at depth.
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -73,5 +80,6 @@ class LSTM(nn.Module):
             c0 = jnp.zeros((B, H), self.dtype)
             _, hs = jax.lax.scan(step, (h0, c0),
                                  jnp.swapaxes(gates_x, 0, 1))
-            h = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+            out = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+            h = h + out if (self.residual and d_in == H) else out
         return h

@@ -108,3 +108,35 @@ def test_lstm_parity_multilayer():
     got = mod.apply({"params": params}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), expected.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_lstm_residual_identity_path():
+    """svtpu extension: ``residual=True`` adds the layer input wherever the
+    width is preserved, with an unchanged parameter structure (checkpoints
+    port 1:1 between the two modes)."""
+    rng = np.random.default_rng(7)
+    B, T, H = 2, 5, 6
+    x = jnp.asarray(rng.normal(size=(B, T, H)).astype(np.float32))
+
+    plain = LSTM(hidden_size=H, num_layers=1)
+    res = LSTM(hidden_size=H, num_layers=1, residual=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        res.init(jax.random.PRNGKey(0), x)) == \
+        jax.tree_util.tree_structure(variables)
+
+    out_plain = plain.apply(variables, x)
+    out_res = res.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_res),
+                               np.asarray(out_plain + x),
+                               rtol=1e-5, atol=1e-6)
+
+    # Width-changing first layer (D != H) must NOT get the identity path.
+    D = H + 2
+    x2 = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    plain2 = LSTM(hidden_size=H, num_layers=1)
+    res2 = LSTM(hidden_size=H, num_layers=1, residual=True)
+    v2 = plain2.init(jax.random.PRNGKey(1), x2)
+    np.testing.assert_allclose(np.asarray(res2.apply(v2, x2)),
+                               np.asarray(plain2.apply(v2, x2)),
+                               rtol=1e-6, atol=1e-7)

@@ -143,3 +143,19 @@ def test_binary_concrete_pallas_interpret():
     # The noisy path uses the on-chip PRNG (pltpu.prng_seed), which has no
     # CPU interpret lowering — covered by benchmarks/check_tpu_kernels.py
     # on real hardware.
+
+
+def test_js_triplet_finite_at_bf16_saturation():
+    """Regression for the round-3 triplet-js NaN: relaxed z saturates to
+    exactly 0/1 under bf16 compute, and clipping p alone leaves 1-p == 0
+    (1 - 1e-8 is not representable in bf16) -> 0 * log(0) = NaN. The loss
+    and its gradient must stay finite at saturated inputs."""
+    a = jnp.asarray([[1.0, 0.0, 0.5]], dtype=jnp.bfloat16)
+    p = jnp.asarray([[1.0, 0.0, 0.5]], dtype=jnp.bfloat16)
+    n = jnp.asarray([[0.0, 1.0, 0.5]], dtype=jnp.bfloat16)
+    val = losses.triplet_js(a, p, n, margin=1.0)
+    assert np.isfinite(float(val))
+
+    grads = jax.grad(
+        lambda aa: losses.triplet_js(aa, p, n, margin=1.0))(a)
+    assert np.all(np.isfinite(np.asarray(grads, dtype=np.float32)))
