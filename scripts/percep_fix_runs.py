@@ -54,7 +54,10 @@ def main():
     os.makedirs("results/percep_fix", exist_ok=True)
     for tag in tags:
         spec = dict(RUNS[tag])
-        epochs = spec.pop("epochs")
+        # Wall-clock trim hook: EPOCHS_<tag> env caps the horizon; the
+        # trainer resumes, so a later longer run extends the same ckpt.
+        epochs = int(os.environ.get(f"EPOCHS_{tag}", spec.pop("epochs")))
+        spec.pop("epochs", None)
         mkw = spec.pop("_model", {})
         mcfg = rbvae_variant("percep", latent_dim=25,
                              compute_dtype="bfloat16", **mkw)
