@@ -136,6 +136,9 @@ def cmd_train(args):
                    ("val_loss" if args.variant == "triplet"
                     else "consistency")),
         sep_target=args.sep_target,
+        restart_check_epoch=args.restart_check_epoch,
+        restart_min_sep=args.restart_min_sep,
+        max_restarts=args.max_restarts,
         log_dir=args.log_dir, seed=args.seed)
     trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
     if args.variant == "simple":
@@ -523,6 +526,12 @@ def main(argv=None):
                          "or val_loss for triplet)")
     sp.add_argument("--sep-target", type=float, default=3.0,
                     help="separation (bits) saturating the combined score")
+    sp.add_argument("--restart-check-epoch", type=int, default=0,
+                    help="auto-restart with a folded seed if the running-max "
+                         "val separation is below --restart-min-sep after "
+                         "this many epochs (0 disables)")
+    sp.add_argument("--restart-min-sep", type=float, default=3.0)
+    sp.add_argument("--max-restarts", type=int, default=3)
     sp.add_argument("--test-pct", type=float, default=0.1)
     sp.add_argument("--val-pct", type=float, default=0.1)
     sp.add_argument("--dtype", default="bfloat16")

@@ -333,6 +333,20 @@ class TrainConfig:
     # N epochs (``latest`` is otherwise only written on metric improvement,
     # which can stall for hundreds of epochs on plateaus). 0 disables.
     latest_every: int = 25
+    # Auto-restart on basin failure (svtpu addition; the reference has no
+    # recovery from a bad init). The round-3 5-seed replication showed a
+    # bimodal outcome: 4/5 seeds separate >=14 bits, 1/5 never leaves the
+    # collapsed basin — and the failure is detectable early (separation
+    # still 0 and contrast loss stuck high by epoch ~200,
+    # RESULTS.md "Flagship replication"). If the running-max validation
+    # separation is below ``restart_min_sep`` when ``restart_check_epoch``
+    # epochs have elapsed since the last (re)start, re-initialize
+    # parameters/optimizer with a folded seed and restart the temperature
+    # schedule, at most ``max_restarts`` times, within the same total
+    # epoch budget. 0 disables.
+    restart_check_epoch: int = 0
+    restart_min_sep: float = 3.0
+    max_restarts: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

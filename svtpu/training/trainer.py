@@ -275,12 +275,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
 
-    def init_state(self) -> TrainState:
+    def init_state(self, seed_offset: int = 0) -> TrainState:
         item = self.store.item_shape
         x0 = jnp.zeros((1, 2) + tuple(item), jnp.float32)
         params = self.model.init(
-            {"params": jax.random.key(self.seed)}, x0, 1.0, False,
-            deterministic=True)
+            {"params": jax.random.key(self.seed + seed_offset)}, x0, 1.0,
+            False, deterministic=True)
         if "model" in self.mesh.axis_names:
             # Tensor-parallel placement of the big projections; optimizer
             # state inherits the same shardings through jit propagation.
@@ -589,6 +589,13 @@ class Trainer:
 
         staged = self._bank is not None
 
+        # Auto-restart on basin failure (see TrainConfig.restart_check_epoch).
+        restarts = 0
+        run_max_sep = 0.0
+        next_check = (start_epoch + cfg.restart_check_epoch
+                      if cfg.restart_check_epoch else None)
+        history["restarts"] = []
+
         for epoch in range(start_epoch, num_epochs):
             # ---- train (batches prefetched to device 2 steps ahead; with a
             # staged bank only row indices travel, the gather runs on-chip)
@@ -668,6 +675,25 @@ class Trainer:
                       f"sep {val_losses['state_separation']:.2f} "
                       f"best {history['best_metric']:.4f}"
                       f"@{history['best_epoch']}", flush=True)
+
+            # ---- auto-restart: never left the collapsed basin by the check
+            # epoch -> re-roll the init within the same epoch budget.
+            run_max_sep = max(run_max_sep, sep)
+            if (next_check is not None and restarts < cfg.max_restarts
+                    and epoch + 1 >= next_check
+                    and run_max_sep < cfg.restart_min_sep):
+                restarts += 1
+                state = self.init_state(seed_offset=1000 * restarts)
+                run_max_sep = 0.0
+                next_check = epoch + 1 + cfg.restart_check_epoch
+                history["restarts"].append(
+                    {"epoch": epoch, "restart": restarts,
+                     "seed_offset": 1000 * restarts})
+                print(f"[epoch {epoch}] separation {sep:.2f} < "
+                      f"{cfg.restart_min_sep} after "
+                      f"{cfg.restart_check_epoch} epochs — restart "
+                      f"{restarts}/{cfg.max_restarts} with seed offset "
+                      f"{1000 * restarts}", flush=True)
 
         if prev_handler is not None:
             import signal

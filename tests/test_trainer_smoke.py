@@ -402,3 +402,27 @@ def test_flagship_archive_integrity():
     shapes_a = sorted((str(k), tuple(v.shape)) for k, v in fa)
     shapes_b = sorted((str(k), tuple(v.shape)) for k, v in fb)
     assert shapes_a == shapes_b
+
+
+def test_auto_restart_on_basin_failure(synth_video):
+    """svtpu auto-restart (TrainConfig.restart_check_epoch): with an
+    unreachable separation bar the trainer must re-roll the init with a
+    folded seed after the check epoch, within the same epoch budget."""
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=4, objective="contrastive",
+                       num_steps_to_update=2, select_by="combined",
+                       restart_check_epoch=1, restart_min_sep=1e9,
+                       max_restarts=2)
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = trainer.train(num_epochs=4)
+    assert len(hist["train_losses"]) == 4          # budget unchanged
+    assert len(hist["restarts"]) == 2              # capped by max_restarts
+    assert hist["restarts"][0]["seed_offset"] == 1000
+    assert hist["restarts"][1]["seed_offset"] == 2000
+    for tl in hist["train_losses"]:
+        assert np.isfinite(tl["total_loss"])
