@@ -118,7 +118,8 @@ def cmd_train(args):
     in_ch = store.item_shape[2]
     mcfg = rbvae_variant(args.variant, latent_dim=args.latent_dim,
                          input_hw=input_hw, in_channels=in_ch,
-                         out_channels=in_ch, compute_dtype=args.dtype)
+                         out_channels=in_ch, compute_dtype=args.dtype,
+                         **_model_overrides(args))
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_epochs=args.epochs,
         learning_rate=args.lr, init_temperature=args.init_temp,
@@ -194,6 +195,13 @@ def cmd_sweep(args):
         print(f"best {res['metric']}: {res['best']}")
 
 
+def _model_overrides(args):
+    kw = {"lstm_residual": getattr(args, "lstm_residual", False)}
+    if getattr(args, "lstm_layers", None):
+        kw["lstm_layers"] = args.lstm_layers
+    return kw
+
+
 def _bundle(args, store):
     from svtpu.config import rbvae_variant
     from svtpu.evaluation.common import RBVAEBundle
@@ -202,7 +210,7 @@ def _bundle(args, store):
     in_ch = store.item_shape[2]
     cfg = rbvae_variant(args.variant, latent_dim=args.latent_dim,
                         input_hw=input_hw, in_channels=in_ch,
-                        out_channels=in_ch)
+                        out_channels=in_ch, **_model_overrides(args))
     return RBVAEBundle.from_checkpoint(args.ckpt, cfg, name=args.variant)
 
 
@@ -267,12 +275,34 @@ def _consistency_for_model(name, args, meta):
     from svtpu.evaluation.consistency import evaluate_consistency
 
     pixel_to_input = None
-    if args.variant == "percep":
+    perturb_fn = None
+    embedding_input = False
+    if args.variant == "percep" and getattr(args, "embeddings", None) \
+            and not getattr(args, "sd_ckpt", None):
+        # Degraded protocol for environments with no SD checkpoint
+        # (zero egress): the reference perturbs pixels and re-encodes
+        # through SD (``embedding_matching.py:251-257``); without the
+        # checkpoint the perturbations act directly in embedding space
+        # (gaussian noise scaled to the embedding std; occlusion zeroes
+        # the latent footprint of a pixel square). Documented in
+        # PARITY.md; clean-column numbers are protocol-identical.
+        from svtpu.data.datasets import EmbeddingStore
+        from svtpu.data.segments import split_segments
+        from svtpu.evaluation.consistency import perturb_embeddings
+
+        store = EmbeddingStore(args.embeddings)
+        splits = split_segments(meta.state_segments(), args.test_pct,
+                                args.val_pct)
+        perturb_fn = perturb_embeddings
+        embedding_input = True
+    elif args.variant == "percep":
         # Percep models: perturb pixels at SD resolution, re-encode through
         # the AutoencoderKL per trial (reference
         # ``embedding_matching.py:251-257``).
         if not getattr(args, "sd_ckpt", None):
-            raise SystemExit("--sd-ckpt is required for --variant percep")
+            raise SystemExit("--sd-ckpt (or --embeddings for the "
+                             "embedding-space degraded protocol) is "
+                             "required for --variant percep")
         from svtpu.config import PerceptualConfig
         from svtpu.perceptual.convert import (convert_autoencoder_kl,
                                               load_torch_checkpoint)
@@ -295,19 +325,25 @@ def _consistency_for_model(name, args, meta):
     else:
         store, splits = _pixel_store(args, meta)
     test_idx = splits.flat("test")
-    frames01 = store.gather(np.asarray(test_idx)).astype(np.float32) / 255.0
+    frames01 = store.gather(np.asarray(test_idx)).astype(np.float32)
+    if not embedding_input:
+        frames01 = frames01 / 255.0
     bundle = _bundle(args, store) if args.variant != "percep" else None
     if bundle is None:
         from svtpu.config import rbvae_variant
         from svtpu.evaluation.common import RBVAEBundle
 
-        cfg = rbvae_variant("percep", latent_dim=args.latent_dim)
+        cfg = rbvae_variant("percep", latent_dim=args.latent_dim,
+                            **_model_overrides(args))
         bundle = RBVAEBundle.from_checkpoint(args.ckpt, cfg, name="percep")
     bundle.name = name
+    kw = {}
+    if perturb_fn is not None:
+        kw["perturb_fn"] = perturb_fn
     return evaluate_consistency(bundle, frames01, test_idx, meta.flags,
                                 num_trials=args.trials,
                                 temperature=args.temperature,
-                                pixel_to_input=pixel_to_input)
+                                pixel_to_input=pixel_to_input, **kw)
 
 
 def cmd_eval_consistency(args):
@@ -532,6 +568,12 @@ def main(argv=None):
                          "this many epochs (0 disables)")
     sp.add_argument("--restart-min-sep", type=float, default=3.0)
     sp.add_argument("--max-restarts", type=int, default=3)
+    sp.add_argument("--lstm-residual", action="store_true",
+                    help="identity paths around width-preserving LSTM "
+                         "layers (svtpu extension; see DESIGN.md §8)")
+    sp.add_argument("--lstm-layers", type=int,
+                    help="override the variant's LSTM depth (1=simple, "
+                         "2=contrastive/triplet, 4=percep)")
     sp.add_argument("--test-pct", type=float, default=0.1)
     sp.add_argument("--val-pct", type=float, default=0.1)
     sp.add_argument("--dtype", default="bfloat16")
@@ -587,6 +629,10 @@ def main(argv=None):
                         help="SD checkpoint (percep-variant evals)")
         sp.add_argument("--embeddings",
                         help=".npy embeddings (percep-variant evals)")
+        sp.add_argument("--lstm-residual", action="store_true",
+                        help="model was trained with residual LSTM stacks")
+        sp.add_argument("--lstm-layers", type=int,
+                        help="override the variant's LSTM depth")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("eval-tradeoff",

@@ -47,6 +47,41 @@ def perturb_frames(frames01: np.ndarray, kind: str, seed: int,
     return np.asarray(out)
 
 
+def perturb_embeddings(emb: np.ndarray, kind: str, seed: int,
+                       noise_std: float = 0.1,
+                       occlusion_coverage: float = 0.2) -> np.ndarray:
+    """Embedding-space analogue of the pixel perturbations, for percep
+    models when no SD checkpoint is available (zero-egress environments —
+    the reference re-encodes perturbed pixels through SD,
+    ``embedding_matching.py:251-257``, which needs the checkpoint).
+    Gaussian noise is scaled by the embedding std so σ=0.1 keeps the
+    reference's relative magnitude; occlusion zeroes a random square of
+    ~``coverage`` of the latent spatial grid (the latent footprint of a
+    pixel occlusion; one square per trial). ``emb``: ``[N, H, W, C]``."""
+    if kind == "clean":
+        return emb
+    x = jnp.asarray(emb)
+    key = jax.random.key(seed)
+    if kind == "noise":
+        out = x + (noise_std * float(np.std(emb))
+                   * jax.random.normal(key, x.shape, x.dtype))
+    elif kind == "occlusion":
+        _, H, W, _ = x.shape
+        side_h = max(1, int(H * occlusion_coverage ** 0.5))
+        side_w = max(1, int(W * occlusion_coverage ** 0.5))
+        k1, k2 = jax.random.split(key)
+        top = jax.random.randint(k1, (), 0, H - side_h + 1)
+        left = jax.random.randint(k2, (), 0, W - side_w + 1)
+        rows = jnp.arange(H)[None, :, None, None]
+        cols = jnp.arange(W)[None, None, :, None]
+        mask = ((rows >= top) & (rows < top + side_h)
+                & (cols >= left) & (cols < left + side_w))
+        out = jnp.where(mask, 0.0, x)
+    else:
+        raise ValueError(kind)
+    return np.asarray(out)
+
+
 @dataclasses.dataclass
 class ConsistencyResult:
     model_name: str
@@ -67,6 +102,7 @@ def evaluate_consistency(
         perturbations: Sequence[str] = PERTURBATIONS,
         pixel_to_input: Optional[Callable[[np.ndarray, int], np.ndarray]]
         = None,
+        perturb_fn: Callable[..., np.ndarray] = perturb_frames,
         seed: int = 0) -> List[ConsistencyResult]:
     """Run the trial protocol for one model.
 
@@ -84,7 +120,7 @@ def evaluate_consistency(
         scores = []
         for trial in range(num_trials):
             s = seed + 1000 * trial
-            frames = perturb_frames(test_frames01, kind, s)
+            frames = perturb_fn(test_frames01, kind, s)
             x = pixel_to_input(frames, s) if pixel_to_input else frames
             codes = bundle.encode(x, temperature=temperature, hard=True,
                                   noise=True, noise_ratio=noise_ratio,
