@@ -41,6 +41,8 @@ def train_with_config(config: Dict, variant: str, store,
     mkw = {}
     if "lstm_layers" in config:  # architecture factor (percep_p space)
         mkw["lstm_layers"] = int(config["lstm_layers"])
+    if "lstm_residual" in config:  # round-3 architecture factor
+        mkw["lstm_residual"] = bool(config["lstm_residual"])
     mcfg = rbvae_variant(model_variant, latent_dim=int(config["latent_dim"]),
                          input_hw=input_hw, in_channels=in_ch,
                          out_channels=in_ch, compute_dtype=compute_dtype,

@@ -98,6 +98,10 @@ PERCEP_P_SPACE: Space = dict(
     # the search covers both depths (reference fixes 4:
     # ``percep_RBVAE_model.py:98,111``).
     lstm_layers=("choice", [2, 4]),
+    # Second architecture factor (round 3): residual stacking fixed the
+    # 4-layer starvation outright (best combined 1.0, no late erosion —
+    # RESULTS.md "Percep collapse"), so the search covers it.
+    lstm_residual=("choice", [False, True]),
     batch_size=("choice", [16, 32]),
     learning_rate=("log_uniform", 1e-4, 3e-3),
     beta_kl=("log_uniform", 0.005, 0.5),
