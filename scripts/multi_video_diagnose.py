@@ -76,7 +76,7 @@ def probe(tr, params, epoch):
     """Adjacent-Hamming vector + logit scale on the val frames."""
     val_idx = [i for s in tr.splits.val for i in s]
     codes = tr._val_codes(params, val_idx, tr.cfg.final_temperature,
-                          noise=False)
+                          noise=False, seed=epoch)
     labels = np.asarray([tr.labels_by_index[i] for i in val_idx])
     num_states = int(max(tr.labels_by_index.values())) + 1
     ham = adjacent_hamming(modal_codes(codes, labels, num_states))
