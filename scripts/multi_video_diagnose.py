@@ -47,6 +47,13 @@ CHUNK = 50
 ARMS = {
     "control": {},
     "beta_low": {"beta_kl": 0.05},
+    # The hinge is mean-reduced over adjacent state pairs (faithful to the
+    # reference's torch mean reduction, ops/losses.py:86), so 9 global
+    # states (8 pairs) halve the per-pair dissimilar gradient vs the
+    # single-video flagship (5 states, 4 pairs) while the KL pull per bit
+    # is unchanged.  alpha 4 -> 8 restores the single-video per-pair
+    # pressure exactly.
+    "alpha_scaled": {"alpha": 8.0},
 }
 
 
