@@ -137,6 +137,7 @@ def cmd_train(args):
                    ("val_loss" if args.variant == "triplet"
                     else "consistency")),
         sep_target=args.sep_target,
+        sep_aggregate=args.sep_aggregate,
         restart_check_epoch=args.restart_check_epoch,
         restart_min_sep=args.restart_min_sep,
         max_restarts=args.max_restarts,
@@ -562,6 +563,12 @@ def main(argv=None):
                          "or val_loss for triplet)")
     sp.add_argument("--sep-target", type=float, default=3.0,
                     help="separation (bits) saturating the combined score")
+    sp.add_argument("--sep-aggregate", choices=["mean", "min"],
+                    default="mean",
+                    help="reduce the adjacent-pair Hamming vector by mean "
+                         "(single-video default) or min (multi-video: "
+                         "catches any one merged pair — mean is blind to "
+                         "one video collapsing while another separates)")
     sp.add_argument("--restart-check-epoch", type=int, default=0,
                     help="auto-restart with a folded seed if the running-max "
                          "val separation is below --restart-min-sep after "

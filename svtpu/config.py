@@ -309,6 +309,15 @@ class TrainConfig:
     # Separation (bits) at which "combined" stops rewarding more
     # separation and becomes pure consistency.
     sep_target: float = 3.0
+    # How the adjacent-pair Hamming vector reduces to the separation
+    # scalar: "mean" (default; matches the single-video metric) or "min".
+    # "min" matters for multi-video runs: the round-3 diagnosis showed a
+    # 9-state run whose MEAN separation sat at 9 bits while all four
+    # chinchess in-video pairs were at exactly 0 from epoch 100 — mean
+    # aggregation (and therefore combined-score selection) is blind to
+    # one video collapsing when another separates widely
+    # (results/multi_diagnose/control.jsonl).
+    sep_aggregate: str = "mean"
     log_dir: Optional[str] = None
     # Mesh axes for data parallelism; batch is sharded over "data".
     mesh_shape: Tuple[int, ...] = (-1,)

@@ -480,7 +480,12 @@ class Trainer:
             num_states = len(self.flags) + 1
         det_w, _ = modal_consistency(codes, labels, num_states)
         ham = adjacent_hamming(modal_codes(codes, labels, num_states))
-        sep = float(ham.mean()) if len(ham) else 0.0
+        if len(ham) == 0:
+            sep = 0.0
+        elif self.cfg.sep_aggregate == "min":
+            sep = float(ham.min())
+        else:
+            sep = float(ham.mean())
         return sep, float(det_w)
 
     # ------------------------------------------------------------ main loop

@@ -88,3 +88,34 @@ def test_multistore_staging_rows_match_gather():
     gids = np.array([0, 3, OFFSET + 0, OFFSET + 6, 4])
     np.testing.assert_array_equal(ms.array[ms.rows(gids)], ms.gather(gids))
     assert len(ms.array) == 12
+
+
+def test_sep_aggregate_min_catches_single_merged_video():
+    """TrainConfig.sep_aggregate="min": the mean adjacent-Hamming scalar
+    is blind to one video's states all sharing a code while the other
+    video separates widely (observed on hardware,
+    results/multi_diagnose/control.jsonl — mean sep 9 bits with all four
+    chinchess pairs at exactly 0); the min aggregation reports 0."""
+    store, splits, labels = combine_videos(_spec(), 0.15, 0.15)
+    mcfg = rbvae_variant("contrastive", latent_dim=6, input_hw=(16, 16))
+
+    def make(agg):
+        tr = Trainer(mcfg, TrainConfig(batch_size=8, sep_aggregate=agg),
+                     store, splits, flags=[], seed=0,
+                     labels_by_index=labels)
+        # Crafted codes: video a's states (0,1,2) merged on one code,
+        # video b's states (3,4) mutually and jointly separated.
+        by_state = np.array([[0, 0, 0, 0, 0, 0],
+                             [0, 0, 0, 0, 0, 0],
+                             [0, 0, 0, 0, 0, 0],
+                             [1, 1, 1, 0, 0, 0],
+                             [1, 1, 1, 1, 1, 1]], np.float32)
+
+        def fake_val_codes(params, val_idx, temperature, noise, seed):
+            return by_state[[labels[i] for i in val_idx]]
+
+        tr._val_codes = fake_val_codes
+        return tr.state_separation(None, 0.2)[0]
+
+    assert make("mean") == pytest.approx((0 + 0 + 3 + 3) / 4)
+    assert make("min") == 0.0
