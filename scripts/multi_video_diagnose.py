@@ -53,7 +53,10 @@ ARMS = {
     # single-video flagship (5 states, 4 pairs) while the KL pull per bit
     # is unchanged.  alpha 4 -> 8 restores the single-video per-pair
     # pressure exactly.
-    "alpha_scaled": {"alpha": 8.0},
+    # sep_aggregate="min" (selection-only; no effect on dynamics) so the
+    # arm's combined_score reflects the weakest pair — mean aggregation
+    # scored the control arm 0.58+ while chinchess was fully merged.
+    "alpha_scaled": {"alpha": 8.0, "sep_aggregate": "min"},
 }
 
 
