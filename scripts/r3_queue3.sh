@@ -1,38 +1,15 @@
 #!/bin/bash
-# Round-3 extension stages (after r3_queue2.sh): flagship replication
-# seeds 6-7 with auto-restart armed — extends the 5-seed table and adds
-# restart-mechanism samples (does restart fire only on basin failures?).
+# Round-3 stage: the mechanism-targeted multi-video fix arm.
+# alpha_scaled compensates the hinge's mean-over-pairs dilution
+# (9 global states = 8 adjacent pairs vs the single-video flagship's 4),
+# restoring the per-pair dissimilar gradient that the control arm's
+# chinchess half never gets (ham_vector [0,0,0,0,...] from epoch 100).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 stage() { echo "=== [$(date +%H:%M:%S)] stage: $1"; }
 
-for SEED in 6 7; do
-  if [ -f "results/flagship_replication/eval_s$SEED/consistency.csv" ]; then
-    continue
-  fi
-  stage "flagship_s$SEED"
-  SVTPU_EPOCH_LOG=100 python -u -m svtpu.cli train \
-    --variant contrastive --video chinese_chess \
-    --frames-dir data/frames/chinese_chess --latent-dim 25 \
-    --epochs 1000 --batch-size 32 --lr 3e-4 \
-    --init-temp 2.0 --final-temp 0.2 --anneal-rate 1e-3 \
-    --num-steps-to-update 4 --bernoulli-p 0.1 \
-    --contrast-on p --contextfree-contrast --margin 3.5 \
-    --noise-ratio 0.3 --eval-noise-ratio 0.1 --beta-kl 0.2 --alpha 4.0 \
-    --select-by combined --seed "$SEED" \
-    --restart-check-epoch 250 --restart-min-sep 3.0 --max-restarts 3 \
-    --save-path "data/ckpt/flagship_s$SEED" --resume \
-    --history-out "results/flagship_replication/history_s$SEED.jsonl" \
-    2>&1 | tail -3
-  python -u -m svtpu.cli eval-consistency --video chinese_chess \
-    --frames-dir data/frames/chinese_chess --variant contrastive \
-    --latent-dim 25 --ckpt "data/ckpt/flagship_s$SEED" \
-    --out-dir "results/flagship_replication/eval_s$SEED" 2>&1 | tail -4
-  python -u -m svtpu.cli eval-hamming --video chinese_chess \
-    --frames-dir data/frames/chinese_chess --variant contrastive \
-    --latent-dim 25 --ckpt "data/ckpt/flagship_s$SEED" \
-    --out-dir "results/flagship_replication/eval_s$SEED" 2>&1 | tail -3
-done
+stage "multi_video_alpha_scaled"
+python -u scripts/multi_video_diagnose.py 700 alpha_scaled
 
 stage "queue3 complete"
