@@ -103,7 +103,8 @@ def evaluate_consistency(
         pixel_to_input: Optional[Callable[[np.ndarray, int], np.ndarray]]
         = None,
         perturb_fn: Callable[..., np.ndarray] = perturb_frames,
-        seed: int = 0) -> List[ConsistencyResult]:
+        seed: int = 0,
+        labels: Optional[Sequence[int]] = None) -> List[ConsistencyResult]:
     """Run the trial protocol for one model.
 
     Args:
@@ -112,9 +113,17 @@ def evaluate_consistency(
       pixel_to_input: optional map from perturbed pixels to the model's
         input space (the SD encode step for percep models); receives
         ``(frames01, trial_seed)``.
+      labels: optional explicit per-frame state labels (multi-video
+        evaluation uses one GLOBAL state axis across videos, so labels
+        cannot be derived from one video's transition flags). When given,
+        ``flags``/``test_indices`` are ignored for labeling.
     """
-    labels = np.asarray([assign_label(i, flags) for i in test_indices])
-    num_states = len(flags) + 1
+    if labels is not None:
+        labels = np.asarray(labels)
+        num_states = int(labels.max()) + 1
+    else:
+        labels = np.asarray([assign_label(i, flags) for i in test_indices])
+        num_states = len(flags) + 1
     results = []
     for kind in perturbations:
         scores = []

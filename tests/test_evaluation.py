@@ -107,6 +107,23 @@ def test_linear_probe(bundle, frames, tmp_path):
     assert (tmp_path / "ex.png").exists()
 
 
+def test_consistency_explicit_labels(bundle, frames):
+    """Explicit per-frame labels (the multi-video global-state path) give
+    the same result as flags-derived labels when they encode the same
+    assignment, and support non-contiguous global ids."""
+    from svtpu.data.segments import assign_label
+
+    idx = list(range(30))
+    flags = [10, 20]
+    ref = evaluate_consistency(bundle, frames, idx, flags, num_trials=2,
+                               perturbations=("clean",))
+    lab = [assign_label(i, flags) for i in idx]
+    via_labels = evaluate_consistency(bundle, frames, idx, flags=[],
+                                      num_trials=2,
+                                      perturbations=("clean",), labels=lab)
+    assert via_labels[0].trials == ref[0].trials
+
+
 def test_consistency_pixel_to_input_hook(bundle, frames):
     """The percep-path hook (perturbed pixels → model-input space) is
     invoked per trial with the trial seed."""
