@@ -691,6 +691,15 @@ class Trainer:
                 state = self.init_state(seed_offset=1000 * restarts)
                 run_max_sep = 0.0
                 next_check = epoch + 1 + cfg.restart_check_epoch
+                # The re-rolled run replaces the failed one: drop the failed
+                # basin's best. A collapsed basin can score HIGH on pure
+                # consistency (all states on one code), so keeping its
+                # best_metric would block the restarted run from ever
+                # checkpointing under select_by="consistency".
+                history["best_metric"] = -np.inf if maximize else np.inf
+                history["best_epoch"] = epoch + 1
+                if ckpt:
+                    ckpt.best_metric = None
                 history["restarts"].append(
                     {"epoch": epoch, "restart": restarts,
                      "seed_offset": 1000 * restarts})

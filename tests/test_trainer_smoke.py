@@ -426,3 +426,34 @@ def test_auto_restart_on_basin_failure(synth_video):
     assert hist["restarts"][1]["seed_offset"] == 2000
     for tl in hist["train_losses"]:
         assert np.isfinite(tl["total_loss"])
+
+
+def test_restart_resets_best_metric(synth_video, tmp_path):
+    """A restart replaces the failed run, so the failed basin's best
+    metric must not gate the restarted run's checkpoints — a collapsed
+    basin scores HIGH on pure consistency (all states one code), which
+    would otherwise block every post-restart save under
+    select_by="consistency"."""
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=3, objective="contrastive",
+                       num_steps_to_update=2, select_by="consistency",
+                       restart_check_epoch=1, restart_min_sep=1e9,
+                       max_restarts=1)
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = trainer.train(num_epochs=3, save_path=str(tmp_path / "ck"))
+    assert len(hist["restarts"]) == 1
+    restart_epoch = hist["restarts"][0]["epoch"]
+    # The recorded best must come from AFTER the restart, even though the
+    # pre-restart epochs also produced (possibly higher) consistency.
+    assert hist["best_epoch"] > restart_epoch
+    assert np.isfinite(hist["best_metric"])
+    # And the best checkpoint on disk is the post-restart one.
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    _, meta_b = BestCheckpointer(str(tmp_path / "ck")).restore("best")
+    assert int(meta_b["epoch"]) > restart_epoch
