@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-3 closing stage: the HARDENED flagship recipe end-to-end on
+# fresh seeds. Both measured failure modes get their shipped
+# mitigations armed together:
+#   * init-basin failure  -> auto-restart (fires on basin failures only;
+#     causal seed-5 recovery + seeds 6-7 non-firing specificity)
+#   * late-anneal trap    -> anneal floor 0.55 (queue6 causal test on
+#     the two documented erosion seeds)
+# Fresh seeds 8-10 (never used in any prior run) measure the recipe's
+# outcome distribution with the full mitigation stack — the number a
+# user of the framework actually gets.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+stage() { echo "=== [$(date +%H:%M:%S)] stage: $1"; }
+
+for SEED in 8 9 10; do
+  if [ -f "results/flagship_replication/eval_s${SEED}_hardened/consistency.csv" ]; then
+    continue
+  fi
+  stage "flagship_s${SEED}_hardened"
+  SVTPU_EPOCH_LOG=100 python -u -m svtpu.cli train \
+    --variant contrastive --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --latent-dim 25 \
+    --epochs 1000 --batch-size 32 --lr 3e-4 \
+    --init-temp 2.0 --final-temp 0.55 --anneal-rate 1e-3 \
+    --num-steps-to-update 4 --bernoulli-p 0.1 \
+    --contrast-on p --contextfree-contrast --margin 3.5 \
+    --noise-ratio 0.3 --eval-noise-ratio 0.1 --beta-kl 0.2 --alpha 4.0 \
+    --select-by combined --seed "$SEED" \
+    --restart-check-epoch 250 --restart-min-sep 3.0 --max-restarts 3 \
+    --save-path "data/ckpt/flagship_s${SEED}_hardened" --resume \
+    --history-out "results/flagship_replication/history_s${SEED}_hardened.jsonl" \
+    2>&1 | tail -3
+  python -u -m svtpu.cli eval-consistency --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant contrastive \
+    --latent-dim 25 --ckpt "data/ckpt/flagship_s${SEED}_hardened" \
+    --out-dir "results/flagship_replication/eval_s${SEED}_hardened" 2>&1 | tail -4
+  python -u -m svtpu.cli eval-hamming --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant contrastive \
+    --latent-dim 25 --ckpt "data/ckpt/flagship_s${SEED}_hardened" \
+    --out-dir "results/flagship_replication/eval_s${SEED}_hardened" 2>&1 | tail -3
+done
+
+stage "queue7 complete"
