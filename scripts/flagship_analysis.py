@@ -73,16 +73,23 @@ def main():
         hist = load_history(path)
         if not hist:
             continue
-        rows.append(summarize_seed(seed, hist,
-                                   os.path.join(base, f"eval_s{seed}")))
+        row = summarize_seed(seed, hist, os.path.join(base, f"eval_s{seed}"))
+        # Arm = suffix after the seed number ("" for the base recipe,
+        # "restart"/"floor"/"hardened" for the mitigation arms) so the
+        # aggregate statistics never mix recipes.
+        row["arm"] = seed.split("_", 1)[1] if "_" in seed else "base"
+        rows.append(row)
     for r in rows:
         print(json.dumps(r))
-    tests = [r["test_clean_mean"] for r in rows if "test_clean_mean" in r]
-    sels = [r["best_combined"] for r in rows]
-    if rows:
-        import numpy as np
+    import numpy as np
+    for arm in sorted({r["arm"] for r in rows}):
+        arm_rows = [r for r in rows if r["arm"] == arm]
+        tests = [r["test_clean_mean"] for r in arm_rows
+                 if "test_clean_mean" in r]
+        sels = [r["best_combined"] for r in arm_rows]
         print(json.dumps({
-            "n_seeds_here": len(rows),
+            "arm": arm,
+            "n_seeds_here": len(arm_rows),
             "selection_combined_mean": round(float(np.mean(sels)), 4),
             "selection_combined_std": round(float(np.std(sels)), 4),
             "test_clean_mean": (round(float(np.mean(tests)), 4)
