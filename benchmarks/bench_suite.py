@@ -282,6 +282,83 @@ def bench_trunk_ab(batch=512, reps=24):
             "best_pallas_over_xla": round(max(pal) / out["xla"], 3)}))
 
 
+def bench_int8_probe(batch=512, reps=24, m=8192):
+    """Op-level probe: does int8 reach its 2x-over-bf16 MXU rate through
+    XLA on this chip, for (a) a big square matmul and (b) the headline
+    conv1 shape (stride-2 3x3 64->64 at 128^2, 83% of the encode path)?
+
+    Decides whether a quantized encode path is worth building: v5e peak
+    is 197 bf16 TFLOPS vs 394 int8 TOPS, and the encode path's output is
+    binary codes behind a hard threshold, so precision headroom exists.
+    Pure timing, scalar readback, 8 warmups, median of 5."""
+    def run(fn, args, work):
+        for i in range(8):
+            np.asarray(fn(*args))
+        trials = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                o = fn(*args)
+            np.asarray(o)
+            trials.append(work * reps / (time.perf_counter() - t0))
+        return float(np.median(trials))
+
+    rng = np.random.default_rng(0)
+    # (a) square matmul (default 8192^3: 1.1 TFLOP)
+    mm_work = 2 * m * m * m
+    a8 = jnp.asarray(rng.integers(-127, 127, (m, m), dtype=np.int8))
+    ab = a8.astype(jnp.bfloat16)
+
+    @jax.jit
+    def mm_bf16(a, b):
+        return (a @ b).sum()
+
+    @jax.jit
+    def mm_int8(a, b):
+        return jax.lax.dot(a, b,
+                           preferred_element_type=jnp.int32).sum()
+
+    r_bf = run(mm_bf16, (ab, ab), mm_work)
+    r_i8 = run(mm_int8, (a8, a8), mm_work)
+    print(json.dumps({"bench": "int8_probe", "op": "matmul8192",
+                      "bf16_tflops": round(r_bf / 1e12, 1),
+                      "int8_tops": round(r_i8 / 1e12, 1),
+                      "int8_over_bf16": round(r_i8 / r_bf, 2)}))
+
+    # (b) conv1 shape: [B,128,128,64] (x) [3,3,64,64] stride 2 SAME
+    cv_work = 2 * batch * 64 * 64 * 3 * 3 * 64 * 64
+    x8 = jnp.asarray(rng.integers(-127, 127, (batch, 128, 128, 64),
+                                  dtype=np.int8))
+    k8 = jnp.asarray(rng.integers(-127, 127, (3, 3, 64, 64),
+                                  dtype=np.int8))
+    xb, kb = x8.astype(jnp.bfloat16), k8.astype(jnp.bfloat16)
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    @jax.jit
+    def cv_bf16(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), "SAME", dimension_numbers=dn).sum()
+
+    @jax.jit
+    def cv_int8(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.int32).sum()
+
+    c_bf = run(cv_bf16, (xb, kb), cv_work)
+    try:
+        c_i8 = run(cv_int8, (x8, k8), cv_work)
+    except Exception as e:
+        print(json.dumps({"bench": "int8_probe", "op": "conv1",
+                          "bf16_tflops": round(c_bf / 1e12, 1),
+                          "int8_error": str(e)[:200]}))
+        return
+    print(json.dumps({"bench": "int8_probe", "op": "conv1",
+                      "bf16_tflops": round(c_bf / 1e12, 1),
+                      "int8_tops": round(c_i8 / 1e12, 1),
+                      "int8_over_bf16": round(c_i8 / c_bf, 2)}))
+
+
 def bench_convopt_train_ab():
     """A/B the MXU conv transforms (conv0_s2d encoder + deconv_d2s
     decoder) on the full jitted train step (fwd+bwd+Adam)."""
@@ -918,6 +995,7 @@ if __name__ == "__main__":
         "conv0_ab": bench_conv0_ab,
         "convopt_train_ab": bench_convopt_train_ab,
         "trunk_ab": bench_trunk_ab,
+        "int8_probe": bench_int8_probe,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():
