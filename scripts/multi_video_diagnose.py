@@ -57,6 +57,16 @@ ARMS = {
     # arm's combined_score reflects the weakest pair — mean aggregation
     # scored the control arm 0.58+ while chinchess was fully merged.
     "alpha_scaled": {"alpha": 8.0, "sep_aggregate": "min"},
+    # The mechanism-informed multi-video recipe, all three measured fixes
+    # together: beta_low (basin escape — the 700-epoch A/B), an anneal
+    # floor ABOVE this run's measured trap temperature (the extended
+    # beta_low run eroded between epochs 1300-1350 at temp 0.89-0.92 —
+    # consistent with |h|/T saturation at its larger logit scale 0.174),
+    # and min-aggregated selection (the mean-aggregated combined score
+    # rebounded to 0.93 AFTER the collapse, i.e. selection was blind to
+    # losing the real video).
+    "hardened": {"beta_kl": 0.05, "final_temperature": 0.95,
+                 "sep_aggregate": "min"},
 }
 
 

@@ -14,6 +14,18 @@ cd "$(dirname "$0")/.."
 
 stage() { echo "=== [$(date +%H:%M:%S)] stage: $1"; }
 
+# Multi-video hardened recipe FIRST (the higher-value headline): the
+# extended beta_low run held 23 bits on every chinchess pair from epoch
+# ~600 to 1300, then the anneal trap fired at temp 0.89-0.92 and the
+# mean-aggregated selection metric rebounded to 0.93 post-collapse
+# (blind to losing the real video). This arm = beta_kl 0.05 + anneal
+# floor 0.95 (above the measured trap) + sep_aggregate=min selection.
+stage "multi_video_hardened_1500"
+python -u scripts/multi_video_diagnose.py 1500 hardened
+
+stage "multi_video_eval_hardened"
+python -u scripts/multi_video_eval.py hardened
+
 for SEED in 8 9 10; do
   if [ -f "results/flagship_replication/eval_s${SEED}_hardened/consistency.csv" ]; then
     continue
