@@ -359,6 +359,61 @@ def bench_int8_probe(batch=512, reps=24, m=8192):
                       "int8_over_bf16": round(c_i8 / c_bf, 2)}))
 
 
+def bench_int8_ab(batch=512, reps=24):
+    """A/B: bf16-XLA vs int8_trunk on the full headline encode path,
+    same params — frames/sec plus deterministic hard-code mismatch
+    fraction (the quantized path is NOT bit-exact by construction; this
+    records how far off it lands)."""
+    from svtpu.config import rbvae_variant
+    from svtpu.models.rbvae import Seq2SeqBinaryVAE
+    from svtpu.ops.image import to_float01
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                      dtype=np.uint8))
+    params = None
+    out, codes = {}, {}
+    for tag, flag in (("xla", False), ("int8", True)):
+        cfg = rbvae_variant("contrastive", latent_dim=50,
+                            compute_dtype="bfloat16", int8_trunk=flag)
+        model = Seq2SeqBinaryVAE(cfg)
+        if params is None:
+            params = model.init({"params": jax.random.key(0)},
+                                jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
+                                1.0, False, deterministic=True)
+
+        @jax.jit
+        def enc(p, f, k, model=model):
+            return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                               method=Seq2SeqBinaryVAE.encode,
+                               deterministic=False,
+                               bc_rng=k).astype(jnp.uint8)
+
+        @jax.jit
+        def enc_det(p, f, model=model):
+            return model.apply(p, to_float01(f)[:, None], 0.2, True, 0.1,
+                               method=Seq2SeqBinaryVAE.encode,
+                               deterministic=True).astype(jnp.uint8)
+
+        codes[tag] = np.asarray(enc_det(params, frames))
+        for i in range(8):
+            np.asarray(enc(params, frames, jax.random.key(100 + i)))
+        trials = []
+        for t in range(5):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                o = enc(params, frames, jax.random.key(t * reps + i))
+            np.asarray(o)
+            trials.append(batch * reps / (time.perf_counter() - t0))
+        out[tag] = float(np.median(trials))
+        print(json.dumps({"bench": "int8_ab", "path": tag,
+                          "frames_per_sec": round(out[tag], 1)}))
+    mismatch = float((codes["xla"] != codes["int8"]).mean())
+    print(json.dumps({"bench": "int8_ab",
+                      "int8_over_xla": round(out["int8"] / out["xla"], 3),
+                      "det_code_mismatch": round(mismatch, 5)}))
+
+
 def bench_convopt_train_ab():
     """A/B the MXU conv transforms (conv0_s2d encoder + deconv_d2s
     decoder) on the full jitted train step (fwd+bwd+Adam)."""
@@ -996,6 +1051,7 @@ if __name__ == "__main__":
         "convopt_train_ab": bench_convopt_train_ab,
         "trunk_ab": bench_trunk_ab,
         "int8_probe": bench_int8_probe,
+        "int8_ab": bench_int8_ab,
         "data": bench_data_plane,
     }
     for name, fn in benches.items():

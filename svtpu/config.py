@@ -187,6 +187,15 @@ class RBVAEConfig:
     # batch must divide by it or it falls back to 1). VMEM per step is
     # ~2.6 MB/image double-buffered, so 2-4 is the useful range.
     pallas_trunk_block: int = 1
+    # Run the wide convs (all but conv0) of the inference ``encode`` path
+    # in dynamic symmetric int8 (per-output-channel kernel scales,
+    # per-tensor activation scale, int32 accumulation — ops/conv.py
+    # ``conv2d_int8``). v5e's int8 MXU peak is 2x bf16; the encode output
+    # is binary codes behind a hard threshold, so precision headroom
+    # exists. Inference-only (no gradient through round); code-mismatch
+    # vs the bf16 path must be measured per checkpoint before production
+    # use (benchmarks/bench_suite.py int8 benches).
+    int8_trunk: bool = False
     # Compute the first (thin, k3/s2/p1) conv via a 2x2 space-to-depth
     # transform: mathematically identical, but the MXU contraction axis
     # grows 9*C_in -> 16*C_in (the classic TPU conv0 trick). Same

@@ -33,7 +33,7 @@ from flax import linen as nn
 from svtpu.config import RBVAEConfig
 from svtpu.ops.binarize import binary_concrete
 from svtpu.ops.conv import (ConvParams, ConvTranspose2dTorch, Dense,
-                            conv2d_torch_apply)
+                            conv2d_int8, conv2d_torch_apply)
 from svtpu.ops.conv_trunk_pallas import fused_conv01
 from svtpu.ops.lstm import LSTM
 
@@ -78,6 +78,21 @@ class ConvEncoder(nn.Module):
                              block_n=c.pallas_trunk_block)
             h = conv2d_torch_apply(h, *wb[2], c.conv_stride,
                                    c.conv_padding, dtype)
+        elif trunk == "int8":
+            assert deterministic, "int8 trunk is inference-only"
+            # conv0 stays in compute dtype (thin C_in; XLA's internal
+            # transform already runs it near its roofline — RESULTS.md
+            # encode breakdown); the wide convs that dominate the path
+            # run int8 on the MXU (2x bf16 peak on v5e).
+            for i, (w, b) in enumerate(wb):
+                if i == 0:
+                    h = conv2d_torch_apply(h, w, b, c.conv_stride,
+                                           c.conv_padding, dtype)
+                else:
+                    h = conv2d_int8(h, w, b, c.conv_stride,
+                                    c.conv_padding, dtype)
+                if i < n - 1 or c.conv_final_relu:
+                    h = jax.nn.relu(h)
         else:
             for i, (w, b) in enumerate(wb):
                 h = conv2d_torch_apply(h, w, b, c.conv_stride,
@@ -236,5 +251,6 @@ class Seq2SeqBinaryVAE(nn.Module):
         _, _, z_seq = self._encode_to_latent(
             x, temperature, hard, noise_scale, bc_rng, True,
             sampler="pallas" if c.pallas_sampler else "xla",
-            trunk="pallas" if c.pallas_trunk else "xla")
+            trunk=("pallas" if c.pallas_trunk
+                   else "int8" if c.int8_trunk else "xla"))
         return z_seq

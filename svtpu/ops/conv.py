@@ -47,6 +47,30 @@ def conv2d_torch_apply(x: jax.Array, w: jax.Array, b: jax.Array,
     return y + b.astype(dtype)
 
 
+def conv2d_int8(x: jax.Array, w: jax.Array, b: jax.Array,
+                stride: int, padding: int, dtype) -> jax.Array:
+    """Dynamic symmetric int8-quantized conv (inference only).
+
+    v5e's int8 MXU peak is 2x the bf16 peak, and the encode path's
+    output is binary codes behind a hard threshold, so precision
+    headroom exists. Per-output-channel kernel scales (HWIO axis 3),
+    per-tensor activation scale, int32 accumulation, dequantize +
+    bias in ``dtype``. Gradients do not flow through ``round`` — this
+    path is for the encode/serving direction only.
+    """
+    kscale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-8)
+    kq = jnp.clip(jnp.round(w / kscale), -127, 127).astype(jnp.int8)
+    ascale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0,
+                         1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=_DN, preferred_element_type=jnp.int32)
+    return ((y.astype(jnp.float32) * (ascale * kscale)).astype(dtype)
+            + b.astype(dtype))
+
+
 class ConvParams(nn.Module):
     """Parameter holder with ``Conv2dTorch``'s exact tree and init —
     lets a caller route the same weights through alternative compute
