@@ -363,20 +363,41 @@ def bench_int8_ab(batch=512, reps=24):
     """A/B: bf16-XLA vs int8_trunk on the full headline encode path,
     same params — frames/sec plus deterministic hard-code mismatch
     fraction (the quantized path is NOT bit-exact by construction; this
-    records how far off it lands)."""
+    records how far off it lands).
+
+    Random-init logits sit near zero, where any quantization noise flips
+    the hard threshold, so the mismatch number is only meaningful on
+    TRAINED weights: set ``SVTPU_INT8_CKPT`` (orbax dir, with
+    ``SVTPU_INT8_LATENT``, default 25) and optionally
+    ``SVTPU_INT8_FRAMES`` (frame dir → real frames instead of noise)."""
     from svtpu.config import rbvae_variant
     from svtpu.models.rbvae import Seq2SeqBinaryVAE
     from svtpu.ops.image import to_float01
 
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
-                                      dtype=np.uint8))
+    ckpt = os.environ.get("SVTPU_INT8_CKPT")
+    latent = int(os.environ.get("SVTPU_INT8_LATENT", "25")) if ckpt else 50
+    frames_dir = os.environ.get("SVTPU_INT8_FRAMES")
+    if frames_dir:
+        from svtpu.data.datasets import FrameStore
+        n = len([f for f in os.listdir(frames_dir) if f.endswith(".jpg")])
+        idx = np.linspace(0, n - 1, min(batch, n)).astype(int)
+        store = FrameStore(frames_dir, list(range(n)), resolution=(256, 256))
+        frames = jnp.asarray(store.gather(idx))
+        batch = frames.shape[0]
+    else:
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                          dtype=np.uint8))
     params = None
     out, codes = {}, {}
     for tag, flag in (("xla", False), ("int8", True)):
-        cfg = rbvae_variant("contrastive", latent_dim=50,
+        cfg = rbvae_variant("contrastive", latent_dim=latent,
                             compute_dtype="bfloat16", int8_trunk=flag)
         model = Seq2SeqBinaryVAE(cfg)
+        if params is None and ckpt:
+            from svtpu.evaluation.common import RBVAEBundle
+            params = {"params":
+                      RBVAEBundle.from_checkpoint(ckpt, cfg).params}
         if params is None:
             params = model.init({"params": jax.random.key(0)},
                                 jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
