@@ -100,6 +100,34 @@ def cmd_embed(args):
     print(f"saved {len(emb)} embeddings to {args.out}")
 
 
+# Measured training recipes as one flag (every value traceable to a
+# RESULTS.md table; explicit flags still override a preset's defaults).
+TRAIN_PRESETS = {
+    # The flagship pixels objective (RESULTS.md "Consistency × separation",
+    # 7-seed replication) with both measured failure-mode mitigations
+    # armed: anneal floor 0.55 above the observed gradient-trap band
+    # (hard-threshold metrics are temperature-invariant) and auto-restart
+    # on init-basin failure.
+    "flagship": dict(
+        variant="contrastive", latent_dim=25, epochs=1000, batch_size=32,
+        lr=3e-4, init_temp=2.0, final_temp=0.55, anneal_rate=1e-3,
+        num_steps_to_update=4, bernoulli_p=0.1, contrast_on="p",
+        contextfree_contrast=True, margin=3.5, noise_ratio=0.3,
+        eval_noise_ratio=0.1, beta_kl=0.2, alpha=4.0, select_by="combined",
+        restart_check_epoch=250, restart_min_sep=3.0, max_restarts=3),
+    # The percep (SD-latent) recipe that fixes the reference
+    # architecture's depth-starvation collapse while keeping its 4-layer
+    # geometry (RESULTS.md "Percep collapse: mechanism and fix").
+    "percep-flagship": dict(
+        variant="percep", latent_dim=25, epochs=750, batch_size=16,
+        lr=3e-4, init_temp=2.0, final_temp=0.2, anneal_rate=3e-4,
+        num_steps_to_update=4, bernoulli_p=0.1, contrast_on="p",
+        contextfree_contrast=True, margin=3.5, noise_ratio=0.3,
+        eval_noise_ratio=0.1, beta_kl=0.2, alpha=4.0, select_by="combined",
+        lstm_residual=True),
+}
+
+
 def cmd_train(args):
     from svtpu.config import TrainConfig, rbvae_variant
     from svtpu.data.datasets import EmbeddingStore
@@ -524,6 +552,10 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_embed)
 
     sp = sub.add_parser("train", help="train an RBVAE variant")
+    train_sp = sp
+    sp.add_argument("--preset", choices=sorted(TRAIN_PRESETS),
+                    help="start from a measured recipe's flags "
+                         "(RESULTS.md); explicit flags override")
     _add_video_args(sp)
     sp.add_argument("--variant", default="contrastive",
                     choices=["simple", "contrastive", "percep", "triplet"])
@@ -669,6 +701,21 @@ def main(argv=None):
     sp.add_argument("--mode", default="slerp", choices=["lerp", "slerp"])
     sp.add_argument("--out", default="interpolation.png")
     sp.set_defaults(fn=cmd_interpolate)
+
+    # Presets change the train subcommand's DEFAULTS, so they must be
+    # applied before parsing — pre-scan argv for --preset.
+    av = list(sys.argv[1:] if argv is None else argv)
+    preset = None
+    for i, a in enumerate(av):
+        if a == "--preset" and i + 1 < len(av):
+            preset = av[i + 1]
+        elif a.startswith("--preset="):
+            preset = a.split("=", 1)[1]
+    if preset is not None:
+        if preset not in TRAIN_PRESETS:
+            raise SystemExit(f"unknown preset {preset!r}; "
+                             f"choose from {sorted(TRAIN_PRESETS)}")
+        train_sp.set_defaults(**TRAIN_PRESETS[preset])
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -144,3 +144,38 @@ def test_pareto_front():
            TradeoffPoint("d", 0.9, 0.5, 0.9, {})]   # dominated by a
     front = pareto_front(pts)
     assert [p.run for p in front] == ["a", "b"]
+
+
+def test_train_preset_applies_and_explicit_flags_override(monkeypatch):
+    """--preset flagship loads the measured recipe's defaults
+    (RESULTS.md "7-seed replication" + mitigations) while explicit
+    flags still win."""
+    captured = {}
+    monkeypatch.setattr(cli, "cmd_train",
+                        lambda args: captured.update(vars(args)))
+    cli.main(["train", "--preset", "flagship", "--video", "chinese_chess",
+              "--frames-dir", "unused", "--epochs", "3"])
+    assert captured["contrast_on"] == "p"
+    assert captured["contextfree_contrast"] is True
+    assert captured["margin"] == 3.5
+    assert captured["final_temp"] == 0.55
+    assert captured["eval_noise_ratio"] == 0.1
+    assert captured["select_by"] == "combined"
+    assert captured["restart_check_epoch"] == 250
+    assert captured["epochs"] == 3          # explicit flag overrides preset
+
+
+def test_train_preset_percep(monkeypatch):
+    captured = {}
+    monkeypatch.setattr(cli, "cmd_train",
+                        lambda args: captured.update(vars(args)))
+    cli.main(["train", "--preset=percep-flagship",
+              "--video", "chinese_chess", "--embeddings", "unused"])
+    assert captured["variant"] == "percep"
+    assert captured["lstm_residual"] is True
+    assert captured["anneal_rate"] == 3e-4
+
+
+def test_train_preset_unknown():
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--preset", "nope", "--video", "chinese_chess"])
