@@ -25,23 +25,30 @@ from pathlib import Path
 import numpy as np
 
 
-def _video_meta(args):
+def _meta_by_name(args, name):
     from svtpu.config import BUILTIN_VIDEOS, VideoMeta, parse_transition_flags
 
     if args.flags_file:
         metas = parse_transition_flags(args.flags_file)
-        return metas[args.video]
-    if args.video in BUILTIN_VIDEOS:
-        return BUILTIN_VIDEOS[args.video]
-    if args.flags:
-        return VideoMeta(args.video, tuple(args.flags), args.last_frame,
+        if name in metas:
+            return metas[name]
+    if name in BUILTIN_VIDEOS:
+        return BUILTIN_VIDEOS[name]
+    if args.flags and name == args.video:
+        return VideoMeta(name, tuple(args.flags), args.last_frame,
                          args.grey_out)
-    raise SystemExit(f"unknown video {args.video!r}; pass --flags/"
+    raise SystemExit(f"unknown video {name!r}; pass --flags/"
                      f"--last-frame or --flags-file")
 
 
-def _add_video_args(p):
-    p.add_argument("--video", required=True,
+def _video_meta(args):
+    if not args.video:
+        raise SystemExit("--video is required")
+    return _meta_by_name(args, args.video)
+
+
+def _add_video_args(p, required=True):
+    p.add_argument("--video", required=required,
                    help="video name (builtin or from --flags-file)")
     p.add_argument("--flags-file", help="transition_flags.txt path")
     p.add_argument("--flags", type=int, nargs="*",
@@ -125,6 +132,19 @@ TRAIN_PRESETS = {
         contextfree_contrast=True, margin=3.5, noise_ratio=0.3,
         eval_noise_ratio=0.1, beta_kl=0.2, alpha=4.0, select_by="combined",
         lstm_residual=True),
+    # The hardened multi-video recipe (RESULTS.md "Multi-video"): all
+    # three measured fixes together — beta_kl 0.05 (absolute-KL-dominance
+    # basin escape), anneal floor 0.95 (above the measured trap
+    # temperature at this recipe's logit scale), min-aggregated
+    # separation so selection cannot reward a run that merged one video's
+    # states. Use with repeatable --multi NAME=FRAMES_DIR.
+    "multi-video": dict(
+        variant="contrastive", latent_dim=25, epochs=1500, batch_size=32,
+        lr=3e-4, init_temp=2.0, final_temp=0.95, anneal_rate=3e-4,
+        num_steps_to_update=4, bernoulli_p=0.1, contrast_on="p",
+        contextfree_contrast=True, margin=3.5, noise_ratio=0.3,
+        eval_noise_ratio=0.1, beta_kl=0.05, alpha=4.0,
+        select_by="combined", sep_aggregate="min"),
 }
 
 
@@ -134,12 +154,35 @@ def cmd_train(args):
     from svtpu.data.segments import split_segments
     from svtpu.training.trainer import Trainer
 
-    meta = _video_meta(args)
-    if args.variant == "percep":
+    labels = None
+    if getattr(args, "multi", None):
+        # Several videos on one global state axis (svtpu-only capability;
+        # the reference trains strictly one video per run). Each spec is
+        # NAME=FRAMES_DIR; NAME resolves like --video.
+        from svtpu.data.datasets import FrameStore
+        from svtpu.data.multi import combine_videos
+
+        if args.variant != "contrastive":
+            raise SystemExit("--multi supports the contrastive variant")
+        specs = []
+        for spec in args.multi:
+            if "=" not in spec:
+                raise SystemExit(f"--multi needs NAME=FRAMES_DIR: {spec!r}")
+            name, frames_dir = spec.split("=", 1)
+            m = _meta_by_name(args, name)
+            fs = FrameStore(frames_dir, list(range(m.last_frame + 1)),
+                            resolution=(args.resolution, args.resolution))
+            specs.append((fs, m))
+        store, splits, labels = combine_videos(specs, args.test_pct,
+                                              args.val_pct)
+        meta = None
+    elif args.variant == "percep":
+        meta = _video_meta(args)
         store = EmbeddingStore(args.embeddings)
         splits = split_segments(meta.state_segments(), args.test_pct,
                                 args.val_pct)
     else:
+        meta = _video_meta(args)
         store, splits = _pixel_store(args, meta)
 
     input_hw = tuple(store.item_shape[:2])
@@ -170,7 +213,9 @@ def cmd_train(args):
         restart_min_sep=args.restart_min_sep,
         max_restarts=args.max_restarts,
         log_dir=args.log_dir, seed=args.seed)
-    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    trainer = Trainer(mcfg, tcfg, store, splits,
+                      meta.flags if meta is not None else [],
+                      labels_by_index=labels)
     if args.variant == "simple":
         hist = trainer.train_simple(meta.state_segments(),
                                     num_epochs=args.epochs)
@@ -556,7 +601,11 @@ def main(argv=None):
     sp.add_argument("--preset", choices=sorted(TRAIN_PRESETS),
                     help="start from a measured recipe's flags "
                          "(RESULTS.md); explicit flags override")
-    _add_video_args(sp)
+    sp.add_argument("--multi", action="append", metavar="NAME=FRAMES_DIR",
+                    help="repeatable: train several videos on one global "
+                         "state axis (svtpu-only; NAME resolves like "
+                         "--video); overrides --video/--frames-dir")
+    _add_video_args(sp, required=False)
     sp.add_argument("--variant", default="contrastive",
                     choices=["simple", "contrastive", "percep", "triplet"])
     sp.add_argument("--frames-dir")

@@ -179,3 +179,26 @@ def test_train_preset_percep(monkeypatch):
 def test_train_preset_unknown():
     with pytest.raises(SystemExit):
         cli.main(["train", "--preset", "nope", "--video", "chinese_chess"])
+
+
+def test_train_multi_video(tmp_path, video_dir, monkeypatch):
+    """--multi trains two videos on one global state axis end-to-end
+    (svtpu-only capability, svtpu/data/multi.py)."""
+    flags_file = tmp_path / "transition_flags.txt"
+    flags_file.write_text(
+        "vid_a:\n[16, 32], last_frame = 47, grey_out = 2\n"
+        "vid_b:\n[16, 32], last_frame = 47, grey_out = 2\n")
+    cli.main(["train", "--multi", f"vid_a={video_dir}",
+              "--multi", f"vid_b={video_dir}",
+              "--flags-file", str(flags_file),
+              "--resolution", "32", "--latent-dim", "8",
+              "--epochs", "1", "--batch-size", "4",
+              "--sep-aggregate", "min",
+              "--save-path", str(tmp_path / "ckpt")])
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_train_multi_video_bad_spec(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--multi", "novideodir",
+                  "--resolution", "32", "--epochs", "1"])
