@@ -6,6 +6,7 @@ Reference → svtpu mapping:
   download-weights ← scripts/download_weights.py
   embed          ← src/stable-diffusion/get_percep_embeddings.py
   train          ← models/*/*_train.py __main__ blocks
+  encode         ← (svtpu-only) video/frames + ckpt → packed symbols npz
   sweep          ← models/*/*_wandb_sweep.py
   eval-consistency ← scripts/evaluation/state_consistency_eval/
   eval-hamming   ← scripts/evaluation/clustering_eval/embedding_hamming...
@@ -68,6 +69,58 @@ def _pixel_store(args, meta):
     store = FrameStore(args.frames_dir, all_idx,
                        resolution=(args.resolution, args.resolution))
     return store, splits
+
+
+def cmd_encode(args):
+    """The product operation: video file or frame dir + trained ckpt →
+    packed binary symbol codes (SymbolStore npz). Reference protocol
+    defaults: temp 0.2, hard=True, Binary-Concrete noise on
+    (``embedding_matching.py:264``)."""
+    from svtpu.config import rbvae_variant
+    from svtpu.data.symbols import SymbolStore
+    from svtpu.pipeline import VideoSymbolPipeline
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    cfg = rbvae_variant(args.variant, latent_dim=args.latent_dim,
+                        input_hw=(args.resolution, args.resolution),
+                        compute_dtype=args.dtype, **_model_overrides(args))
+    tree, _ = BestCheckpointer(args.ckpt).restore(args.which)
+    pipe = VideoSymbolPipeline(cfg, tree["params"], batch=args.batch,
+                               temperature=args.temperature, hard=True,
+                               noise=not args.deterministic,
+                               noise_ratio=args.noise_ratio,
+                               seed=args.seed, resize_on=args.resize_on)
+    src = Path(args.input)
+    if src.is_dir():
+        from svtpu.data.datasets import FrameStore
+
+        n = len([f for f in src.iterdir() if f.suffix == ".jpg"])
+        if args.limit:
+            n = min(n, args.limit)
+        store = FrameStore(str(src), list(range(n)),
+                           resolution=cfg.input_hw)
+        import jax
+
+        key = jax.random.key(args.seed)
+        chunks = []
+        for i in range(0, n, args.batch):
+            chunks.append(pipe.run_frames(
+                store.gather(np.arange(i, min(i + args.batch, n))),
+                key=jax.random.fold_in(key, i)))
+        codes = (np.concatenate(chunks) if chunks
+                 else np.zeros((0, cfg.latent_dim)))
+    else:
+        codes = pipe.run_video(str(src), limit=args.limit)
+    labels = None
+    if args.video:
+        from svtpu.data.segments import assign_label
+
+        meta = _video_meta(args)
+        labels = np.asarray([assign_label(i, meta.flags)
+                             for i in range(len(codes))])
+    SymbolStore(codes, np.arange(len(codes)), labels).save(args.out)
+    print(f"wrote {len(codes)} symbol codes (dim {codes.shape[-1]}) "
+          f"to {args.out}")
 
 
 def cmd_extract(args):
@@ -595,6 +648,32 @@ def main(argv=None):
                     help="posterior.mode() instead of sample()")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=cmd_embed)
+
+    sp = sub.add_parser("encode",
+                        help="video/frames + ckpt -> packed symbols npz")
+    sp.add_argument("input", help="video file or %%010d.jpg frame dir")
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--out", default="symbols.npz")
+    sp.add_argument("--which", default="best", choices=["best", "latest"])
+    sp.add_argument("--variant", default="contrastive",
+                    choices=["simple", "contrastive", "triplet"])
+    sp.add_argument("--latent-dim", type=int, default=25)
+    sp.add_argument("--resolution", type=int, default=256,
+                    help="model input side (must match the ckpt geometry)")
+    sp.add_argument("--temperature", type=float, default=0.2)
+    sp.add_argument("--noise-ratio", type=float, default=0.1)
+    sp.add_argument("--deterministic", action="store_true",
+                    help="hard-threshold sigmoid(h) with no sampling noise")
+    sp.add_argument("--batch", type=int, default=64)
+    sp.add_argument("--limit", type=int)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--resize-on", default="device",
+                    choices=["device", "host"])
+    sp.add_argument("--dtype", default="bfloat16")
+    sp.add_argument("--lstm-residual", action="store_true")
+    sp.add_argument("--lstm-layers", type=int)
+    _add_video_args(sp, required=False)
+    sp.set_defaults(fn=cmd_encode)
 
     sp = sub.add_parser("train", help="train an RBVAE variant")
     train_sp = sp

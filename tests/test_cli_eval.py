@@ -202,3 +202,41 @@ def test_train_multi_video_bad_spec(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["train", "--multi", "novideodir",
                   "--resolution", "32", "--epochs", "1"])
+
+
+def test_cli_encode_roundtrip(tmp_path, video_dir):
+    """The product operation end-to-end: train 1 epoch, encode the frame
+    dir, load the SymbolStore back (svtpu-only; reference has scripts
+    per-eval but no symbols export)."""
+    from svtpu.data.symbols import SymbolStore
+
+    flags_file = tmp_path / "transition_flags.txt"
+    flags_file.write_text("vid_a:\n[16, 32], last_frame = 47, grey_out = 2\n")
+    ckpt = tmp_path / "enc_ckpt"
+    cli.main(["train", "--video", "vid_a", "--flags-file", str(flags_file),
+              "--frames-dir", str(video_dir), "--resolution", "32",
+              "--latent-dim", "8", "--epochs", "1", "--batch-size", "4",
+              "--save-path", str(ckpt)])
+    out = tmp_path / "symbols.npz"
+    cli.main(["encode", str(video_dir), "--ckpt", str(ckpt),
+              "--latent-dim", "8", "--resolution", "32", "--out", str(out),
+              "--video", "vid_a", "--flags-file", str(flags_file),
+              "--batch", "16"])
+    store = SymbolStore.load(out)
+    assert len(store) == 48
+    assert store.codes.shape == (48, 8)
+    assert set(np.unique(store.codes)) <= {0, 1}
+    assert store.labels is not None and store.labels.max() == 2
+
+    # deterministic mode is reproducible
+    out2 = tmp_path / "symbols_det.npz"
+    cli.main(["encode", str(video_dir), "--ckpt", str(ckpt),
+              "--latent-dim", "8", "--resolution", "32",
+              "--out", str(out2), "--deterministic"])
+    cli.main(["encode", str(video_dir), "--ckpt", str(ckpt),
+              "--latent-dim", "8", "--resolution", "32",
+              "--out", str(tmp_path / "s3.npz"),
+              "--deterministic"])
+    np.testing.assert_array_equal(
+        SymbolStore.load(out2).codes,
+        SymbolStore.load(tmp_path / "s3.npz").codes)
