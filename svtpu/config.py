@@ -365,6 +365,20 @@ class TrainConfig:
     restart_check_epoch: int = 0
     restart_min_sep: float = 3.0
     max_restarts: int = 3
+    # Adaptive anneal guard against the late-anneal gradient trap (svtpu
+    # addition). The measured trap condition is the RATIO |h|/T — relaxed
+    # probabilities saturate and the p(1-p)/T gradient dies once the
+    # context-free logit scale outgrows the temperature (trigger temps
+    # 0.41-0.92 across runs, scaling with each run's |h|; RESULTS.md
+    # "7-seed replication", "Multi-video"). A FIXED floor only helps when
+    # it happens to sit above that run's threshold (seed 8 trapped AT the
+    # 0.55 floor). When ``trap_guard_ratio`` > 0, the trainer probes the
+    # context-free mean |h| on a val batch each epoch and freezes the
+    # anneal (raises the effective temperature floor to the current
+    # temperature) the first time mean|h|/T >= ratio. Hard-threshold
+    # val/selection metrics are temperature-invariant, so selection
+    # semantics are unchanged. 0 disables.
+    trap_guard_ratio: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -249,6 +249,11 @@ class Trainer:
         self._rep = replicated(self.mesh)
         self._bsh = batch_sharding(self.mesh)
         self._compiled_train = None
+        # Effective temperature floor fed to the jitted step as a traced
+        # scalar; the trap guard (TrainConfig.trap_guard_ratio) raises it.
+        self._temp_floor = jnp.asarray(train_cfg.final_temperature,
+                                       jnp.float32)
+        self._h_probe = None
         self._compiled_val = None
         self._compiled_encode = {}
 
@@ -299,11 +304,32 @@ class Trainer:
             return pair_objective
         return simple_objective
 
+    def _ctxfree_h_scale(self, params) -> float:
+        """Mean context-free |h| on a val probe batch — the quantity whose
+        ratio to the temperature marks the late-anneal gradient trap
+        (RESULTS.md "7-seed replication": trigger temps 0.41–0.92 across
+        runs, scaling with each run's logit scale)."""
+        if self._h_probe is None:
+            model = self.model
+
+            @jax.jit
+            def h_of(p, x):
+                out = model.apply(p, x, 1.0, False, 0.0, deterministic=True)
+                return jnp.abs(out.h_seq[:, 0]).mean()
+
+            self._h_probe = h_of
+        idx = np.asarray([i for s in self.splits.val for i in s][:64])
+        if self._bank is not None:
+            x = _prep(self._bank[jnp.asarray(self.store.rows(idx))])[:, None]
+        else:
+            x = _prep(jnp.asarray(self.store.gather(idx)))[:, None]
+        return float(self._h_probe(params, x))
+
     def _make_train_step(self):
         cfg, model, tx = self.cfg, self.model, self.tx
         obj = self._objective()
 
-        def train_step(state: TrainState, batch, key, bank=None):
+        def train_step(state: TrainState, batch, key, temp_floor, bank=None):
             if bank is not None:
                 # Device-staged input: ``batch`` is row indices into the
                 # HBM-resident frame bank; the gather happens on-chip so the
@@ -311,9 +337,11 @@ class Trainer:
                 # frames themselves.
                 batch = bank[batch]
             step = state.step + 1
-            temp = temperature_schedule(
+            # temp_floor is a traced scalar (not a static constant) so the
+            # adaptive trap guard can raise it without a recompile.
+            temp = jnp.maximum(temperature_schedule(
                 step, cfg.init_temperature, cfg.final_temperature,
-                cfg.anneal_rate, cfg.num_steps_to_update)
+                cfg.anneal_rate, cfg.num_steps_to_update), temp_floor)
             key = jax.random.fold_in(key, step)
 
             def loss_fn(p):
@@ -608,7 +636,8 @@ class Trainer:
             batches = (self.train_batcher.epoch_indices(epoch) if staged
                        else self.train_batcher.epoch(epoch))
             for b in prefetch_to_device(batches, self._bsh):
-                state, metrics = train_step(state, b, base_key, self._bank)
+                state, metrics = train_step(state, b, base_key,
+                                            self._temp_floor, self._bank)
                 nb += 1
                 frames_seen += int(np.prod(b.shape[:3]))
                 if log_every and nb % log_every == 0:
@@ -642,6 +671,19 @@ class Trainer:
                 sep / cfg.sep_target, 1.0)
             for i, p in enumerate(per_state):
                 val_losses[f"state_{i}_consistency"] = float(p)
+
+            # Adaptive trap guard: freeze the anneal the first time the
+            # measured |h|/T ratio crosses the configured trap band.
+            if cfg.trap_guard_ratio > 0 and "trap_frozen" not in history:
+                cur_temp = float(train_losses.get(
+                    "temperature", cfg.final_temperature))
+                abs_h = self._ctxfree_h_scale(state.params)
+                val_losses["ctxfree_abs_h"] = abs_h
+                if abs_h / max(cur_temp, 1e-6) >= cfg.trap_guard_ratio:
+                    self._temp_floor = jnp.asarray(cur_temp, jnp.float32)
+                    history["trap_frozen"] = {"epoch": epoch,
+                                              "temperature": cur_temp,
+                                              "abs_h": abs_h}
 
             self.writer.scalars("Epoch/Train", train_losses, epoch)
             self.writer.scalars("Epoch/Val", val_losses, epoch)
@@ -690,6 +732,11 @@ class Trainer:
                 restarts += 1
                 state = self.init_state(seed_offset=1000 * restarts)
                 run_max_sep = 0.0
+                # Restart re-runs the schedule from step 0; lift any frozen
+                # floor along with it.
+                self._temp_floor = jnp.asarray(cfg.final_temperature,
+                                               jnp.float32)
+                history.pop("trap_frozen", None)
                 next_check = epoch + 1 + cfg.restart_check_epoch
                 # The re-rolled run replaces the failed one: drop the failed
                 # basin's best. A collapsed basin can score HIGH on pure

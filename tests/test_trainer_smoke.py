@@ -457,3 +457,44 @@ def test_restart_resets_best_metric(synth_video, tmp_path):
 
     _, meta_b = BestCheckpointer(str(tmp_path / "ck")).restore("best")
     assert int(meta_b["epoch"]) > restart_epoch
+
+
+def test_trap_guard_freezes_anneal(synth_video):
+    """trap_guard_ratio: the anneal freezes the first time the measured
+    ctx-free |h|/T ratio crosses the band — later epochs' train
+    temperature stops decaying (RESULTS.md: the trap condition is the
+    ratio, so a fixed floor cannot cover every run)."""
+    import dataclasses
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    # Aggressive anneal so the temperature visibly decays within 4 epochs;
+    # a tiny ratio so the guard fires on the very first check.
+    tcfg = TrainConfig(batch_size=8, num_epochs=4, objective="contrastive",
+                       init_temperature=2.0, final_temperature=0.1,
+                       anneal_rate=0.1, num_steps_to_update=1,
+                       trap_guard_ratio=1e-6, select_by="consistency")
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train(num_epochs=4)
+    assert "trap_frozen" in hist
+    frozen = hist["trap_frozen"]
+    assert frozen["epoch"] == 0 and frozen["abs_h"] > 0
+    temps = [tl["temperature"] for tl in hist["train_losses"]]
+    # Epoch 0 annealed freely; every later epoch's mean train temperature
+    # stays at (or within one step of) the frozen value instead of
+    # decaying toward 0.1.
+    assert temps[1] >= frozen["temperature"] - 1e-3
+    assert temps[3] >= frozen["temperature"] - 1e-3
+    assert abs(temps[3] - temps[2]) < 1e-5
+
+    # Control: guard off → the temperature keeps decaying.
+    tr2 = Trainer(mcfg, dataclasses.replace(tcfg, trap_guard_ratio=0.0),
+                  store, splits, meta.flags)
+    hist2 = tr2.train(num_epochs=4)
+    assert "trap_frozen" not in hist2
+    temps2 = [tl["temperature"] for tl in hist2["train_losses"]]
+    assert temps2[3] < temps[3] - 0.1
