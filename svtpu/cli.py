@@ -58,6 +58,26 @@ def _add_video_args(p, required=True):
     p.add_argument("--grey-out", type=int, default=10)
 
 
+def _multi_setup(args):
+    """Several videos on one global state axis (svtpu-only capability;
+    the reference trains and evaluates strictly one video per run).
+    Each ``--multi`` spec is NAME=FRAMES_DIR; NAME resolves like
+    ``--video``. Returns ``(MultiStore, SplitIndices, labels)``."""
+    from svtpu.data.datasets import FrameStore
+    from svtpu.data.multi import combine_videos
+
+    specs = []
+    for spec in args.multi:
+        if "=" not in spec:
+            raise SystemExit(f"--multi needs NAME=FRAMES_DIR: {spec!r}")
+        name, frames_dir = spec.split("=", 1)
+        m = _meta_by_name(args, name)
+        fs = FrameStore(frames_dir, list(range(m.last_frame + 1)),
+                        resolution=(args.resolution, args.resolution))
+        specs.append((fs, m))
+    return combine_videos(specs, args.test_pct, args.val_pct)
+
+
 def _pixel_store(args, meta):
     from svtpu.data.datasets import FrameStore
     from svtpu.data.segments import split_segments
@@ -209,25 +229,9 @@ def cmd_train(args):
 
     labels = None
     if getattr(args, "multi", None):
-        # Several videos on one global state axis (svtpu-only capability;
-        # the reference trains strictly one video per run). Each spec is
-        # NAME=FRAMES_DIR; NAME resolves like --video.
-        from svtpu.data.datasets import FrameStore
-        from svtpu.data.multi import combine_videos
-
         if args.variant != "contrastive":
             raise SystemExit("--multi supports the contrastive variant")
-        specs = []
-        for spec in args.multi:
-            if "=" not in spec:
-                raise SystemExit(f"--multi needs NAME=FRAMES_DIR: {spec!r}")
-            name, frames_dir = spec.split("=", 1)
-            m = _meta_by_name(args, name)
-            fs = FrameStore(frames_dir, list(range(m.last_frame + 1)),
-                            resolution=(args.resolution, args.resolution))
-            specs.append((fs, m))
-        store, splits, labels = combine_videos(specs, args.test_pct,
-                                              args.val_pct)
+        store, splits, labels = _multi_setup(args)
         meta = None
     elif args.variant == "percep":
         meta = _video_meta(args)
@@ -404,6 +408,19 @@ def _consistency_for_model(name, args, meta):
     from svtpu.data.segments import split_segments
     from svtpu.evaluation.consistency import evaluate_consistency
 
+    if getattr(args, "multi", None):
+        # Multi-video checkpoint: GLOBAL state labels from combine_videos.
+        store, splits, labels_map = _multi_setup(args)
+        test_idx = splits.flat("test")
+        frames01 = store.gather(np.asarray(test_idx)).astype(np.float32)
+        frames01 /= 255.0
+        bundle = _bundle(args, store)
+        bundle.name = name
+        return evaluate_consistency(
+            bundle, frames01, test_idx, [], num_trials=args.trials,
+            temperature=args.temperature,
+            labels=[labels_map[i] for i in test_idx])
+
     pixel_to_input = None
     perturb_fn = None
     embedding_input = False
@@ -482,7 +499,7 @@ def cmd_eval_consistency(args):
     ``embedding_matching.py:400-565``)."""
     from svtpu.evaluation.consistency import plot_results, write_csv
 
-    meta = _video_meta(args)
+    meta = None if getattr(args, "multi", None) else _video_meta(args)
     results = []
     for name, ns in _model_namespaces(args):
         results.extend(_consistency_for_model(name, ns, meta))
@@ -502,16 +519,24 @@ def cmd_eval_hamming(args):
     from svtpu.evaluation.hamming import (evaluate_hamming, plot_results,
                                           write_csv)
 
-    meta = _video_meta(args)
+    multi = getattr(args, "multi", None)
+    meta = None if multi else _video_meta(args)
     results = {}
     for name, ns in _model_namespaces(args):
-        store, splits = _eval_store(ns, meta)
-        test_idx = splits.flat("test")
+        labels = None
+        if multi:
+            store, splits, labels_map = _multi_setup(ns)
+            test_idx = splits.flat("test")
+            labels = [labels_map[i] for i in test_idx]
+        else:
+            store, splits = _eval_store(ns, meta)
+            test_idx = splits.flat("test")
         frames = store.gather(np.asarray(test_idx))
         bundle = _bundle(ns, store)
         results[name] = evaluate_hamming(bundle, frames, test_idx,
-                                         meta.flags,
-                                         temperature=ns.temperature)
+                                         meta.flags if meta else [],
+                                         temperature=ns.temperature,
+                                         labels=labels)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     write_csv(results, out / "hamming.csv")
@@ -783,7 +808,12 @@ def main(argv=None):
                      ("eval-projections", cmd_eval_projections),
                      ("eval-probe", cmd_eval_probe)]:
         sp = sub.add_parser(name)
-        _add_video_args(sp)
+        _add_video_args(sp, required=False)
+        sp.add_argument("--multi", action="append",
+                        metavar="NAME=FRAMES_DIR",
+                        help="evaluate a multi-video checkpoint on the "
+                             "global state axis (eval-consistency / "
+                             "eval-hamming; same specs as train --multi)")
         sp.add_argument("--frames-dir")
         sp.add_argument("--ckpt")
         sp.add_argument("--model", action="append",

@@ -36,12 +36,21 @@ def adjacent_hamming(modal: np.ndarray) -> np.ndarray:
 def evaluate_hamming(bundle: RBVAEBundle, frames: np.ndarray,
                      frame_indices: Sequence[int], flags: Sequence[int],
                      temperature: float = 0.2, noise_ratio: float = 0.3,
-                     seed: int = 0) -> Dict:
-    """Encode → modal code per state → adjacent Hamming distances."""
-    labels = np.asarray([assign_label(i, flags) for i in frame_indices])
+                     seed: int = 0, labels=None) -> Dict:
+    """Encode → modal code per state → adjacent Hamming distances.
+
+    ``labels``: optional explicit per-frame state labels (multi-video
+    evaluation uses one GLOBAL state axis across videos); when given,
+    ``flags``/``frame_indices`` are ignored for labeling."""
+    if labels is None:
+        labels = np.asarray([assign_label(i, flags) for i in frame_indices])
+        num_states = len(flags) + 1
+    else:
+        labels = np.asarray(labels)
+        num_states = int(labels.max()) + 1
     codes = bundle.encode(frames, temperature=temperature, hard=True,
                           noise=True, noise_ratio=noise_ratio, seed=seed)
-    modal = modal_codes(codes, labels, len(flags) + 1)
+    modal = modal_codes(codes, labels, num_states)
     ham = adjacent_hamming(modal)
     return {"modal_codes": modal, "hamming": ham,
             "mean_hamming": float(ham.mean()) if len(ham) else 0.0}

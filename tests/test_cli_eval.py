@@ -197,6 +197,23 @@ def test_train_multi_video(tmp_path, video_dir, monkeypatch):
               "--save-path", str(tmp_path / "ckpt")])
     assert (tmp_path / "ckpt").exists()
 
+    # ... and the same checkpoint evaluates through the standard CLIs on
+    # the global state axis (6 states -> 5 adjacent pairs).
+    out = tmp_path / "multi_eval"
+    cli.main(["eval-consistency", "--multi", f"vid_a={video_dir}",
+              "--multi", f"vid_b={video_dir}",
+              "--flags-file", str(flags_file), "--resolution", "32",
+              "--latent-dim", "8", "--ckpt", str(tmp_path / "ckpt"),
+              "--trials", "2", "--out-dir", str(out)])
+    assert (out / "consistency.csv").exists()
+    cli.main(["eval-hamming", "--multi", f"vid_a={video_dir}",
+              "--multi", f"vid_b={video_dir}",
+              "--flags-file", str(flags_file), "--resolution", "32",
+              "--latent-dim", "8", "--ckpt", str(tmp_path / "ckpt"),
+              "--out-dir", str(out)])
+    ham = (out / "hamming.csv").read_text().strip().splitlines()
+    assert len(ham) == 1 + 5      # header + 5 adjacent global-state pairs
+
 
 def test_train_multi_video_bad_spec(tmp_path):
     with pytest.raises(SystemExit):
