@@ -292,8 +292,8 @@ def cmd_train(args):
                          resume=args.resume)
     print(f"best {tcfg.select_by}: {hist['best_metric']:.4f} "
           f"at epoch {hist['best_epoch']}")
-    if "trap_frozen" in hist:
-        print(json.dumps({"trap_frozen": hist["trap_frozen"]}))
+    if "trap_guard" in hist:
+        print(json.dumps({"trap_guard": hist["trap_guard"]}))
     if args.history_out:
         # Full per-epoch metric trajectories (JSONL: one epoch per line,
         # train + val merged) — the raw material for instability/erosion

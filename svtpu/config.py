@@ -372,12 +372,15 @@ class TrainConfig:
     # 0.41-0.92 across runs, scaling with each run's |h|; RESULTS.md
     # "7-seed replication", "Multi-video"). A FIXED floor only helps when
     # it happens to sit above that run's threshold (seed 8 trapped AT the
-    # 0.55 floor). When ``trap_guard_ratio`` > 0, the trainer probes the
-    # context-free mean |h| on a val batch each epoch and freezes the
-    # anneal (raises the effective temperature floor to the current
-    # temperature) the first time mean|h|/T >= ratio. Hard-threshold
-    # val/selection metrics are temperature-invariant, so selection
-    # semantics are unchanged. 0 disables.
+    # 0.55 floor, and a one-time freeze at the crossing temperature still
+    # eroded 460 epochs later because |h| kept growing — the causal
+    # seed-8 arms, RESULTS.md "trap guard"). When ``trap_guard_ratio`` >
+    # 0, the trainer probes the context-free mean |h| on a val batch each
+    # epoch and keeps the effective temperature floor at |h|/ratio — a
+    # floor that RISES with the logit scale, pinning the ratio at the
+    # band for the rest of the run. Hard-threshold val/selection metrics
+    # are temperature-invariant, so selection semantics are unchanged.
+    # 0 disables.
     trap_guard_ratio: float = 0.0
 
 

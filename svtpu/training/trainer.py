@@ -672,18 +672,25 @@ class Trainer:
             for i, p in enumerate(per_state):
                 val_losses[f"state_{i}_consistency"] = float(p)
 
-            # Adaptive trap guard: freeze the anneal the first time the
-            # measured |h|/T ratio crosses the configured trap band.
-            if cfg.trap_guard_ratio > 0 and "trap_frozen" not in history:
-                cur_temp = float(train_losses.get(
-                    "temperature", cfg.final_temperature))
+            # Adaptive trap guard: keep the measured |h|/T ratio at or
+            # below the configured band by RAISING the temperature floor
+            # to |h|/ratio as the logit scale grows. A one-time freeze is
+            # not enough — the causal seed-8 arm froze at T=1.59 and still
+            # eroded 460 epochs later because |h| kept growing at the
+            # frozen temperature (RESULTS.md "trap guard").
+            if cfg.trap_guard_ratio > 0:
                 abs_h = self._ctxfree_h_scale(state.params)
                 val_losses["ctxfree_abs_h"] = abs_h
-                if abs_h / max(cur_temp, 1e-6) >= cfg.trap_guard_ratio:
-                    self._temp_floor = jnp.asarray(cur_temp, jnp.float32)
-                    history["trap_frozen"] = {"epoch": epoch,
-                                              "temperature": cur_temp,
-                                              "abs_h": abs_h}
+                needed = abs_h / cfg.trap_guard_ratio
+                if needed > float(self._temp_floor):
+                    self._temp_floor = jnp.asarray(needed, jnp.float32)
+                    ev = history.setdefault(
+                        "trap_guard", {"first_raise_epoch": epoch,
+                                       "raises": 0})
+                    ev["raises"] += 1
+                    ev["floor"] = float(needed)
+                    ev["abs_h"] = abs_h
+                    ev["epoch"] = epoch
 
             self.writer.scalars("Epoch/Train", train_losses, epoch)
             self.writer.scalars("Epoch/Val", val_losses, epoch)
@@ -736,7 +743,7 @@ class Trainer:
                 # floor along with it.
                 self._temp_floor = jnp.asarray(cfg.final_temperature,
                                                jnp.float32)
-                history.pop("trap_frozen", None)
+                history.pop("trap_guard", None)
                 next_check = epoch + 1 + cfg.restart_check_epoch
                 # The re-rolled run replaces the failed one: drop the failed
                 # basin's best. A collapsed basin can score HIGH on pure

@@ -480,21 +480,21 @@ def test_trap_guard_freezes_anneal(synth_video):
                        trap_guard_ratio=1e-6, select_by="consistency")
     tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
     hist = tr.train(num_epochs=4)
-    assert "trap_frozen" in hist
-    frozen = hist["trap_frozen"]
-    assert frozen["epoch"] == 0 and frozen["abs_h"] > 0
+    assert "trap_guard" in hist
+    ev = hist["trap_guard"]
+    assert ev["first_raise_epoch"] == 0 and ev["abs_h"] > 0
+    # The floor tracks |h|/ratio, which at ratio 1e-6 dwarfs the
+    # schedule: every post-fire epoch trains at the guard floor instead
+    # of decaying toward 0.1, and the floor equals abs_h/ratio.
+    assert ev["floor"] == pytest.approx(ev["abs_h"] / 1e-6)
     temps = [tl["temperature"] for tl in hist["train_losses"]]
-    # Epoch 0 annealed freely; every later epoch's mean train temperature
-    # stays at (or within one step of) the frozen value instead of
-    # decaying toward 0.1.
-    assert temps[1] >= frozen["temperature"] - 1e-3
-    assert temps[3] >= frozen["temperature"] - 1e-3
-    assert abs(temps[3] - temps[2]) < 1e-5
+    assert temps[1] > 1.0 and temps[3] > 1.0
+    assert "ctxfree_abs_h" in hist["val_losses"][-1]
 
     # Control: guard off → the temperature keeps decaying.
     tr2 = Trainer(mcfg, dataclasses.replace(tcfg, trap_guard_ratio=0.0),
                   store, splits, meta.flags)
     hist2 = tr2.train(num_epochs=4)
-    assert "trap_frozen" not in hist2
+    assert "trap_guard" not in hist2
     temps2 = [tl["temperature"] for tl in hist2["train_losses"]]
-    assert temps2[3] < temps[3] - 0.1
+    assert temps2[3] < temps[3]
