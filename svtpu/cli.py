@@ -270,6 +270,7 @@ def cmd_train(args):
         restart_min_sep=args.restart_min_sep,
         max_restarts=args.max_restarts,
         trap_guard_ratio=args.trap_guard_ratio,
+        l1_logits=args.l1_logits,
         log_dir=args.log_dir, seed=args.seed)
     trainer = Trainer(mcfg, tcfg, store, splits,
                       meta.flags if meta is not None else [],
@@ -764,9 +765,12 @@ def main(argv=None):
     sp.add_argument("--restart-min-sep", type=float, default=3.0)
     sp.add_argument("--max-restarts", type=int, default=3)
     sp.add_argument("--trap-guard-ratio", type=float, default=0.0,
-                    help="freeze the anneal when ctx-free mean|h|/T "
-                         "crosses this ratio (late-anneal gradient trap "
-                         "guard; 0 disables)")
+                    help="keep the anneal floor at mean|h|/ratio (late-"
+                         "anneal gradient-trap guard; 0 disables)")
+    sp.add_argument("--l1-logits", type=float, default=0.0,
+                    help="L1 coefficient on the binarization logits "
+                         "(brake on the |h| growth driving the trap; "
+                         "0 disables)")
     sp.add_argument("--lstm-residual", action="store_true",
                     help="identity paths around width-preserving LSTM "
                          "layers (svtpu extension; see DESIGN.md §8)")

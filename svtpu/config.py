@@ -382,6 +382,14 @@ class TrainConfig:
     # are temperature-invariant, so selection semantics are unchanged.
     # 0 disables.
     trap_guard_ratio: float = 0.0
+    # L1 coefficient on the binarization logits h (sum over latent, mean
+    # over batch/time — the KL's reduction convention). The reference
+    # defines an L1 sparsity term but never uses it
+    # (``contrastive_RBVAE_train.py:28-30``); svtpu wires it because the
+    # late-anneal trap is driven by unbounded |h| growth (measured 16×
+    # under a pinned-ratio temperature, RESULTS.md "trap guard") and a
+    # constant L1 pull is the direct brake on that growth. 0 disables.
+    l1_logits: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,8 +164,20 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
         raise ValueError(cfg.objective)
 
     total = recon + cfg.beta_kl * kl + cfg.alpha * aux
+    if cfg.l1_logits:
+        # L1 on the binarization logits (the reference defines but never
+        # uses an L1 sparsity term, ``contrastive_RBVAE_train.py:28-30``;
+        # svtpu wires it as the mechanism-rooted brake on the unbounded
+        # |h| growth that drives the late-anneal gradient trap —
+        # RESULTS.md "trap guard": |h| grew 16x under a pinned-ratio
+        # temperature and the run still eroded). Sum over latent, mean
+        # over the rest — the KL's reduction convention.
+        l1 = cfg.l1_logits * jnp.abs(out.h_seq).sum(-1).mean()
+        total = total + l1
     metrics = {"total_loss": total, "recon_loss": recon, "kl_loss": kl,
                aux_name: aux}
+    if cfg.l1_logits:
+        metrics["l1_loss"] = l1
     return total, metrics
 
 

@@ -498,3 +498,31 @@ def test_trap_guard_freezes_anneal(synth_video):
     assert "trap_guard" not in hist2
     temps2 = [tl["temperature"] for tl in hist2["train_losses"]]
     assert temps2[3] < temps[3]
+
+
+def test_l1_logits_wiring(synth_video):
+    """l1_logits adds a finite L1 term on h to the total and shrinks the
+    trained logit scale vs an identical run without it."""
+    import dataclasses
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=3, objective="contrastive",
+                       num_steps_to_update=2, l1_logits=1.0,
+                       select_by="consistency")
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = tr.train(num_epochs=3)
+    tl = hist["train_losses"][-1]
+    assert "l1_loss" in tl and np.isfinite(tl["l1_loss"]) and tl["l1_loss"] > 0
+    h_l1 = tr._ctxfree_h_scale(hist["final_state"].params)
+
+    tr2 = Trainer(mcfg, dataclasses.replace(tcfg, l1_logits=0.0),
+                  store, splits, meta.flags)
+    hist2 = tr2.train(num_epochs=3)
+    assert "l1_loss" not in hist2["train_losses"][-1]
+    h_free = tr2._ctxfree_h_scale(hist2["final_state"].params)
+    assert h_l1 < h_free
