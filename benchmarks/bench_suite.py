@@ -396,8 +396,8 @@ def bench_int8_ab(batch=512, reps=24):
         model = Seq2SeqBinaryVAE(cfg)
         if params is None and ckpt:
             from svtpu.evaluation.common import RBVAEBundle
-            params = {"params":
-                      RBVAEBundle.from_checkpoint(ckpt, cfg).params}
+            # .params is the checkpoint's full variables dict already.
+            params = RBVAEBundle.from_checkpoint(ckpt, cfg).params
         if params is None:
             params = model.init({"params": jax.random.key(0)},
                                 jnp.zeros((1, 1, 256, 256, 3), jnp.float32),
