@@ -63,7 +63,7 @@ def test_dp_train_step_runs_on_8_devices():
     step = tr._make_train_step()
     batch = next(iter(tr.train_batcher.epoch(0)))
     b = jax.device_put(jnp.asarray(batch), tr._bsh)
-    state, metrics = step(state, b, jax.random.key(0))
+    state, metrics = step(state, b, jax.random.key(0), tr._temp_floor)
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(state.step) == 1
 
@@ -82,7 +82,7 @@ def test_tp_shards_big_dense_and_trains():
     step = tr._make_train_step()
     batch = next(iter(tr.train_batcher.epoch(0)))
     b = jax.device_put(jnp.asarray(batch), tr._bsh)
-    state, metrics = step(state, b, jax.random.key(0))
+    state, metrics = step(state, b, jax.random.key(0), tr._temp_floor)
     assert np.isfinite(float(metrics["total_loss"]))
 
 
@@ -95,13 +95,13 @@ def test_dp_matches_single_device_loss():
     batch = next(iter(t1.train_batcher.epoch(0)))
     step1 = t1._make_train_step()
     _, m1 = step1(s1, jax.device_put(jnp.asarray(batch), t1._bsh),
-                  jax.random.key(0))
+                  jax.random.key(0), t1._temp_floor)
 
     s8 = t8.init_state()
     step8 = t8._make_train_step()
     _, m8 = step8(s8, jax.device_put(jnp.asarray(batch),
                                      batch_sharding(mesh8)),
-                  jax.random.key(0))
+                  jax.random.key(0), t8._temp_floor)
     assert abs(float(m1["total_loss"]) - float(m8["total_loss"])) < 1e-3
 
 
