@@ -213,12 +213,12 @@ def bench_rbvae_train_step():
     # Warm thoroughly: the first few post-compile invocations through the
     # remote relay run orders of magnitude slower than steady state.
     for _ in range(8):
-        state, m = step(state, b, key)
+        state, m = step(state, b, key, tr._temp_floor)
     float(m["total_loss"])  # sync
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        state, m = step(state, b, key)
+        state, m = step(state, b, key, tr._temp_floor)
     float(m["total_loss"])
     dt = (time.perf_counter() - t0) / n
     frames = int(np.prod(batch.shape[:3]))
@@ -471,13 +471,13 @@ def bench_convopt_train_ab():
         b = jax.device_put(jnp.asarray(batch), tr._bsh)
         key = jax.random.key(0)
         for _ in range(8):
-            state, m = step(state, b, key)
+            state, m = step(state, b, key, tr._temp_floor)
         float(m["total_loss"])
         trials = []
         for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(4):
-                state, m = step(state, b, key)
+                state, m = step(state, b, key, tr._temp_floor)
             float(m["total_loss"])
             trials.append((time.perf_counter() - t0) / 4)
         dt = float(np.median(trials))
@@ -767,17 +767,17 @@ def _step_time(tr, reps=4, trials=5, warmup=8):
     # AOT-compile once and EXECUTE the compiled object (calling the jit
     # wrapper after lower().compile() would compile a second time through
     # the relay's ~3 min/compile service).
-    lowered = step.lower(state, b, key, tr._bank)
+    lowered = step.lower(state, b, key, tr._temp_floor, tr._bank)
     compiled = lowered.compile()
     flops = _xla_flops(compiled)
     for _ in range(warmup):
-        state, m = compiled(state, b, key, tr._bank)
+        state, m = compiled(state, b, key, tr._temp_floor, tr._bank)
     float(m["total_loss"])
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, m = compiled(state, b, key, tr._bank)
+            state, m = compiled(state, b, key, tr._temp_floor, tr._bank)
         float(m["total_loss"])
         ts.append((time.perf_counter() - t0) / reps)
     if staged:
@@ -852,7 +852,7 @@ def bench_staged_vs_host(epochs=3):
                        else tr.train_batcher.epoch(epoch))
             m = None
             for b in prefetch_to_device(batches, tr._bsh):
-                state, m = step(state, b, key, tr._bank)
+                state, m = step(state, b, key, tr._temp_floor, tr._bank)
             float(m["total_loss"])
 
         one_epoch(0)   # compile + warm
