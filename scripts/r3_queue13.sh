@@ -1,17 +1,20 @@
 #!/bin/bash
-# Hardened-preset follow-ups after queue12:
-#  s9_combo_min - queue12's s9_combo held 18-bit MEAN separation but its
-#    selected checkpoint has adjacent pair 3-4 at 1 bit (mean-aggregated
-#    selection is blind to one weak pair - the same blindness the
-#    multi-video diagnosis found across videos). Arm = combo recipe +
-#    sep_aggregate=min so selection cannot reward a near-merged pair.
-#  s11/s12_combo - fresh seeds never used to tune any mitigation: the
-#    out-of-sample check that the hardened recipe generalizes.
+# Preset v2 causal arms (RESULTS.md "Combined hardened preset"):
+# queue12 rejected the arm-everything preset — the tracking guard and
+# the L1 brake are incompatible (braked |h| ~0.7/logit forces the
+# guard's floor to T~4.5 from epoch 0; the anneal never happens and the
+# healthy control pays 0.12 held-out). Candidate shipping preset v2 is
+#   --l1-logits 0.1 --restart-check-epoch 250 --restart-min-sep 10
+# (no trap guard): the brake bounds the |h| growth that causes the
+# ratio trap, the restart handles basin failures, healthy runs anneal
+# normally. Arms: seeds 1 (healthy control), 8 (ratio-trap seed),
+# 10 (marginal basin), 2 (sub-mode seed). Seed 9's brake-only arm
+# (s9_l1a, queue10) already measures this preset there: 0.949/0.849.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 stage() { echo "=== [$(date +%H:%M:%S)] stage: $1"; }
 
-run_arm() {  # name seed extra...
+run_arm() {  # name seed
   local NAME=$1 SEED=$2; shift 2
   if [ -f "results/flagship_replication/eval_${NAME}/consistency.csv" ]; then
     return
@@ -26,7 +29,7 @@ run_arm() {  # name seed extra...
     --contrast-on p --contextfree-contrast --margin 3.5 \
     --noise-ratio 0.3 --eval-noise-ratio 0.1 --beta-kl 0.2 --alpha 4.0 \
     --select-by combined --seed "$SEED" \
-    --trap-guard-ratio 0.15 --l1-logits 0.1 \
+    --l1-logits 0.1 \
     --restart-check-epoch 250 --restart-min-sep 10 --max-restarts 3 \
     "$@" \
     --save-path "data/ckpt/flagship_${NAME}" --resume \
@@ -42,7 +45,8 @@ run_arm() {  # name seed extra...
     --out-dir "results/flagship_replication/eval_${NAME}" 2>&1 | tail -3
 }
 
-run_arm s9_combo_min 9 --sep-aggregate min
-run_arm s11_combo 11
-run_arm s12_combo 12
+run_arm s1_v2 1
+run_arm s8_v2 8
+run_arm s10_v2 10
+run_arm s2_v2 2
 stage "queue13 complete"
