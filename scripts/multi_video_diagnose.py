@@ -67,6 +67,14 @@ ARMS = {
     # losing the real video).
     "hardened": {"beta_kl": 0.05, "final_temperature": 0.95,
                  "sep_aggregate": "min"},
+    # The mechanism-rooted alternative to the 0.95 floor: the L1 logit
+    # brake (single-video queue10/13 result) bounds the |h| growth that
+    # causes the |h|/T trap, so the anneal can run all the way to 0.2 —
+    # a colder operating point that, on the single-video path, beats
+    # warm-floor arms on held-out consistency. Same beta_low + min
+    # aggregation as "hardened"; only the trap fix differs.
+    "braked": {"beta_kl": 0.05, "l1_logits": 0.1,
+               "sep_aggregate": "min"},
 }
 
 
