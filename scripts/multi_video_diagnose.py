@@ -75,6 +75,16 @@ ARMS = {
     # aggregation as "hardened"; only the trap fix differs.
     "braked": {"beta_kl": 0.05, "l1_logits": 0.1,
                "sep_aggregate": "min"},
+    # Round-4 recovery arm (VERDICT r3 item 4): the braked arm showed the
+    # brake alone cannot exit a per-video basin (chinchess pair 3 pinned
+    # at 0 bits for all 1500 epochs while |h| sat at 0.17) — the trap it
+    # fixes is |h|/T saturation, not basin escape. Combine the brake with
+    # a MODERATE floor (0.55, the single-video v1 value — well below the
+    # hardened arm's 0.95) to test whether keeping the sampling gradient
+    # warm enough for basin escape while operating much colder than 0.95
+    # beats the hardened recipe's 0.871/min-12.
+    "brake_floor": {"beta_kl": 0.05, "l1_logits": 0.1,
+                    "final_temperature": 0.55, "sep_aggregate": "min"},
 }
 
 

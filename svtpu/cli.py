@@ -183,12 +183,26 @@ def cmd_embed(args):
 # Measured training recipes as one flag (every value traceable to a
 # RESULTS.md table; explicit flags still override a preset's defaults).
 TRAIN_PRESETS = {
-    # The flagship pixels objective (RESULTS.md "Consistency × separation",
-    # 7-seed replication) with both measured failure-mode mitigations
-    # armed: anneal floor 0.55 above the observed gradient-trap band
-    # (hard-threshold metrics are temperature-invariant) and auto-restart
-    # on init-basin failure.
+    # The flagship pixels objective, "preset v2" (RESULTS.md "Preset v2
+    # measured — the complete 10-seed table"): L1 logit brake 0.1 + strict
+    # restart min_sep 10, full anneal to 0.2, no floor/guard. Across all
+    # 10 replication seeds: held-out 0.878 ± 0.065 with floor 0.764 vs
+    # 0.748 ± 0.287 / floor 0.128 for the same seeds' v1/plain baselines —
+    # the brake converts both pathological basins (seeds 5, 10) at a
+    # ~0.09 tax on the single best seed. `flagship-v1` below reproduces
+    # the superseded round-3 default.
     "flagship": dict(
+        variant="contrastive", latent_dim=25, epochs=1000, batch_size=32,
+        lr=3e-4, init_temp=2.0, final_temp=0.2, anneal_rate=1e-3,
+        num_steps_to_update=4, bernoulli_p=0.1, contrast_on="p",
+        contextfree_contrast=True, margin=3.5, noise_ratio=0.3,
+        eval_noise_ratio=0.1, beta_kl=0.2, alpha=4.0, select_by="combined",
+        l1_logits=0.1,
+        restart_check_epoch=250, restart_min_sep=10.0, max_restarts=3),
+    # Round-3 default (anneal floor 0.55 + lax restart), kept for
+    # reproduction: best single-seed outcomes (0.96+ on healthy inits)
+    # but a 0.236 floor on marginal basins (RESULTS.md seeds 8-10 table).
+    "flagship-v1": dict(
         variant="contrastive", latent_dim=25, epochs=1000, batch_size=32,
         lr=3e-4, init_temp=2.0, final_temp=0.55, anneal_rate=1e-3,
         num_steps_to_update=4, bernoulli_p=0.1, contrast_on="p",
@@ -269,6 +283,7 @@ def cmd_train(args):
         restart_check_epoch=args.restart_check_epoch,
         restart_min_sep=args.restart_min_sep,
         max_restarts=args.max_restarts,
+        restart_on=args.restart_on,
         trap_guard_ratio=args.trap_guard_ratio,
         l1_logits=args.l1_logits,
         log_dir=args.log_dir, seed=args.seed)
@@ -632,13 +647,32 @@ def cmd_eval_tradeoff(args):
 
 def cmd_interpolate(args):
     from svtpu.config import PerceptualConfig
-    from svtpu.perceptual.convert import (convert_autoencoder_kl,
-                                          load_torch_checkpoint)
     from svtpu.perceptual.embed import PerceptualEncoder
     from svtpu.perceptual.interpolate import interpolate_images
 
     cfg = PerceptualConfig()
-    params = convert_autoencoder_kl(load_torch_checkpoint(args.ckpt), cfg)
+    if args.ckpt == "random":
+        # No trained SD weights ship in this environment (the reference
+        # loads its own trained first-stage model,
+        # ldm_embedding_interpol.py:162-184). ``--ckpt random`` runs the
+        # identical pipeline on a seeded random init so the demo is
+        # exercisable end-to-end; label any artifact accordingly.
+        import jax
+        import jax.numpy as jnp
+
+        from svtpu.models.autoencoder_kl import AutoencoderKL
+
+        # __call__ = encode + decode, so one small-shape init builds the
+        # full param tree (conv params are input-HW-agnostic).
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = AutoencoderKL(cfg).init(
+            {"params": jax.random.key(args.seed)}, x0)
+    else:
+        from svtpu.perceptual.convert import (convert_autoencoder_kl,
+                                              load_torch_checkpoint)
+
+        params = convert_autoencoder_kl(load_torch_checkpoint(args.ckpt),
+                                        cfg)
     enc = PerceptualEncoder(params, cfg, batch_size=args.steps)
     interpolate_images(enc, args.image_a, args.image_b, steps=args.steps,
                        mode=args.mode, out_path=args.out)
@@ -764,6 +798,11 @@ def main(argv=None):
                          "this many epochs (0 disables)")
     sp.add_argument("--restart-min-sep", type=float, default=3.0)
     sp.add_argument("--max-restarts", type=int, default=3)
+    sp.add_argument("--restart-on", choices=["mean", "min"], default="mean",
+                    help="reduction of the per-pair Hamming vector the "
+                         "basin check thresholds: mean (calibrated "
+                         "single-video default) or min (multi-video "
+                         "per-video basin failure)")
     sp.add_argument("--trap-guard-ratio", type=float, default=0.0,
                     help="keep the anneal floor at mean|h|/ratio (late-"
                          "anneal gradient-trap guard; 0 disables)")
@@ -865,7 +904,12 @@ def main(argv=None):
     sp = sub.add_parser("interpolate", help="SD latent interpolation demo")
     sp.add_argument("image_a")
     sp.add_argument("image_b")
-    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--ckpt", required=True,
+                    help="torch SD/AutoencoderKL checkpoint, or the "
+                         "literal 'random' for a seeded random init "
+                         "(no trained weights ship here)")
+    sp.add_argument("--seed", type=int, default=0,
+                    help="init seed for --ckpt random")
     sp.add_argument("--steps", type=int, default=8)
     sp.add_argument("--mode", default="slerp", choices=["lerp", "slerp"])
     sp.add_argument("--out", default="interpolation.png")

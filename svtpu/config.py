@@ -365,6 +365,15 @@ class TrainConfig:
     restart_check_epoch: int = 0
     restart_min_sep: float = 3.0
     max_restarts: int = 3
+    # Which reduction of the per-pair Hamming vector the basin check
+    # compares against ``restart_min_sep``: "mean" (default — thresholds
+    # were calibrated on mean bits, and a healthy single-video run whose
+    # weakest pair is still closing must not be re-rolled) or "min" (for
+    # multi-video per-VIDEO basin failure, where one merged pair hides
+    # behind a healthy mean: queue15's braked arm held mean 21.9 with
+    # chinchess pair 3 at exactly 0 bits for 1500 epochs,
+    # results/multi_diagnose/braked.jsonl).
+    restart_on: str = "mean"
     # Adaptive anneal guard against the late-anneal gradient trap (svtpu
     # addition). The measured trap condition is the RATIO |h|/T — relaxed
     # probabilities saturate and the p(1-p)/T gradient dies once the

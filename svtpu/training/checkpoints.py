@@ -25,23 +25,37 @@ class BestCheckpointer:
         self.directory.mkdir(parents=True, exist_ok=True)
         self.mode = mode
         self.best_metric: Optional[float] = None
+        # Optional lexicographic selection key (trainer passes
+        # (signed_metric, det_consistency, mean_sep, epoch)) so a run whose
+        # scalar metric never improves still promotes its most-converged
+        # epoch instead of keeping the first one (queue15 degeneracy,
+        # RESULTS.md "Multi-video"; the reference's scalar-only policy is
+        # contrastive_RBVAE_train.py:662-673).
+        self.best_key: Optional[tuple] = None
         self._ckpt = ocp.PyTreeCheckpointer()
 
-    def _is_better(self, metric: float) -> bool:
+    def _is_better(self, metric: float,
+                   sel_key: Optional[tuple] = None) -> bool:
+        if sel_key is not None:
+            return self.best_key is None or tuple(sel_key) > self.best_key
         if self.best_metric is None:
             return True
         return (metric > self.best_metric if self.mode == "max"
                 else metric < self.best_metric)
 
     def save(self, tree: Any, *, epoch: int, metric: float,
+             sel_key: Optional[tuple] = None,
              extra: Optional[dict] = None) -> bool:
-        """Save ``latest``; promote to ``best`` if the metric improved.
+        """Save ``latest``; promote to ``best`` if the metric improved
+        (lexicographically on ``sel_key`` when given, else strict scalar).
         Returns True if this became the new best."""
         meta = {"epoch": int(epoch), "metric": float(metric),
                 **(extra or {})}
         self._write(tree, meta, "latest")
-        if self._is_better(metric):
+        if self._is_better(metric, sel_key):
             self.best_metric = float(metric)
+            if sel_key is not None:
+                self.best_key = tuple(sel_key)
             self._write(tree, meta, "best")
             return True
         return False

@@ -495,20 +495,25 @@ class Trainer:
 
     def state_separation(self, params, temperature: float,
                          seed: int = 0):
-        """``(separation, det_consistency)`` from one deterministic encode
-        of the validation frames.
+        """``(separation, det_consistency, ham_vector)`` from one
+        deterministic encode of the validation frames.
 
-        Separation = mean adjacent-state Hamming distance of deterministic
-        modal codes (svtpu addition: the reference's consistency metric
-        only measures within-state agreement and is blind to all states
-        collapsing onto one code). det_consistency = the same modal-match
-        consistency but noise-off — its gap to the stochastic score
-        measures how close the logits sit to the binarization boundary."""
+        Separation = ``sep_aggregate``-reduced adjacent-state Hamming
+        distance of deterministic modal codes (svtpu addition: the
+        reference's consistency metric only measures within-state
+        agreement and is blind to all states collapsing onto one code).
+        det_consistency = the same modal-match consistency but noise-off —
+        its gap to the stochastic score measures how close the logits sit
+        to the binarization boundary. ``ham_vector`` is the full per-pair
+        vector (np.ndarray, possibly empty) so callers can log/select on
+        the weakest pair — queue14's seed-7 delivered [20, 23, 23, 1]
+        while its mean-aggregated selection score read 0.949 (RESULTS.md
+        "Preset v2 measured")."""
         from svtpu.evaluation.hamming import adjacent_hamming, modal_codes
 
         val_idx = [i for s in self.splits.val for i in s]
         if not val_idx:
-            return 0.0, 0.0
+            return 0.0, 0.0, np.zeros(0)
         codes = self._val_codes(params, val_idx, temperature, noise=False,
                                 seed=seed)
         if self.labels_by_index is not None:
@@ -526,7 +531,7 @@ class Trainer:
             sep = float(ham.min())
         else:
             sep = float(ham.mean())
-        return sep, float(det_w)
+        return sep, float(det_w), ham
 
     # ------------------------------------------------------------ main loop
 
@@ -596,8 +601,10 @@ class Trainer:
             save_path, mode="max" if maximize else "min") if save_path else None
         base_key = jax.random.key(self.seed + 1)
 
+        worst_key = [-np.inf, -np.inf, -np.inf, -np.inf]
         history = {"train_losses": [], "val_losses": [], "best_epoch": 0,
-                   "best_metric": -np.inf if maximize else np.inf}
+                   "best_metric": -np.inf if maximize else np.inf,
+                   "best_key": list(worst_key)}
         start_epoch = 0
         if resume and ckpt and ckpt.exists("latest"):
             tree, meta = ckpt.restore(
@@ -611,8 +618,17 @@ class Trainer:
             start_epoch = int(meta["epoch"]) + 1
             history["best_metric"] = float(meta.get("best_metric",
                                                     history["best_metric"]))
+            if "best_key" in meta:
+                history["best_key"] = [float(x) for x in meta["best_key"]]
+            elif np.isfinite(history["best_metric"]):
+                # Pre-tie-break checkpoint: reconstruct a key that keeps the
+                # old strict-greater semantics (ties never displace it).
+                history["best_key"] = [
+                    (1.0 if maximize else -1.0) * history["best_metric"],
+                    np.inf, np.inf, np.inf]
             if np.isfinite(history["best_metric"]):
                 ckpt.best_metric = history["best_metric"]
+                ckpt.best_key = tuple(history["best_key"])
             # Restore the global step so the temperature schedule resumes
             # where it left off instead of re-annealing from init.
             state = state.replace(step=jax.device_put(
@@ -675,9 +691,18 @@ class Trainer:
             score, per_state = self.state_consistency(
                 state.params, cfg.final_temperature, seed=epoch)
             val_losses["consistency_score"] = float(score)
-            sep, det_w = self.state_separation(state.params,
-                                               cfg.final_temperature)
+            sep, det_w, ham = self.state_separation(state.params,
+                                                    cfg.final_temperature)
+            sep_mean = float(ham.mean()) if len(ham) else 0.0
             val_losses["state_separation"] = sep
+            val_losses["sep_mean"] = sep_mean
+            val_losses["sep_min"] = float(ham.min()) if len(ham) else 0.0
+            # Full per-pair vector (one scalar key per adjacent pair) so a
+            # delivered checkpoint's weakest pair is visible in every
+            # history/TB record, not just at eval time (queue14 seed 7
+            # shipped [20, 23, 23, 1] invisibly; RESULTS.md).
+            for i, h in enumerate(ham):
+                val_losses[f"sep_pair_{i}"] = float(h)
             val_losses["det_consistency_score"] = det_w
             val_losses["combined_score"] = float(score) * min(
                 sep / cfg.sep_target, 1.0)
@@ -712,20 +737,34 @@ class Trainer:
                 "separation": "state_separation",
                 "combined": "combined_score",
                 "val_loss": "total_loss"}[cfg.select_by]]
-            better = (metric > history["best_metric"] if maximize
-                      else metric < history["best_metric"])
+            # Lexicographic selection key: primary metric first, then
+            # det-consistency, mean separation, and epoch as tie-breaks.
+            # A strict-greater scalar compare degenerates when the metric
+            # never moves off its initialization — queue15's min-aggregated
+            # multi-video run had combined ≡ 0 throughout, so "best" stayed
+            # the FIRST epoch (clean 0.143 vs 0.887 for "latest",
+            # results/multi_diagnose/eval_braked). The reference shares the
+            # blind spot (contrastive_RBVAE_train.py:662-673, same
+            # greater-than pattern); the tie-breaks fix it here.
+            sign = 1.0 if maximize else -1.0
+            sel_key = (sign * metric, det_w, sep_mean, epoch)
+            better = sel_key > tuple(history["best_key"])
             if better:
                 history["best_metric"] = metric
+                history["best_key"] = list(sel_key)
                 history["best_epoch"] = epoch
+                history["best_ham_vector"] = [int(h) for h in ham]
             periodic = (cfg.latest_every > 0
                         and (epoch - start_epoch) % cfg.latest_every == 0)
             if ckpt and (better or melk_requested[0] or periodic
                          or epoch == num_epochs - 1):
                 ckpt.save(
                     {"params": state.params, "opt_state": state.opt_state},
-                    epoch=epoch, metric=metric,
+                    epoch=epoch, metric=metric, sel_key=sel_key,
                     extra={"select_by": cfg.select_by,
                            "best_metric": history["best_metric"],
+                           "best_key": list(history["best_key"]),
+                           "ham_vector": [int(h) for h in ham],
                            "global_step": int(state.step)})
                 melk_requested[0] = False
             history["train_losses"].append(train_losses)
@@ -744,7 +783,17 @@ class Trainer:
 
             # ---- auto-restart: never left the collapsed basin by the check
             # epoch -> re-roll the init within the same epoch budget.
-            run_max_sep = max(run_max_sep, sep)
+            # The basin check reduces the per-pair vector by cfg.restart_on,
+            # independent of sep_aggregate (selection): "mean" by default —
+            # restart_min_sep thresholds were calibrated on the mean
+            # (converged seeds sit at 17-21 mean bits by epoch 250,
+            # RESULTS.md), and a healthy run whose weakest pair is still
+            # closing would otherwise be re-rolled spuriously under
+            # min-aggregated selection. "min" targets multi-video per-VIDEO
+            # basin failure (one pair pinned at 0 behind a healthy mean).
+            sep_check = (float(ham.min()) if len(ham) else 0.0) \
+                if cfg.restart_on == "min" else sep_mean
+            run_max_sep = max(run_max_sep, sep_check)
             if (next_check is not None and restarts < cfg.max_restarts
                     and epoch + 1 >= next_check
                     and run_max_sep < cfg.restart_min_sep):
@@ -763,13 +812,16 @@ class Trainer:
                 # best_metric would block the restarted run from ever
                 # checkpointing under select_by="consistency".
                 history["best_metric"] = -np.inf if maximize else np.inf
+                history["best_key"] = list(worst_key)
                 history["best_epoch"] = epoch + 1
                 if ckpt:
                     ckpt.best_metric = None
+                    ckpt.best_key = None
                 history["restarts"].append(
                     {"epoch": epoch, "restart": restarts,
                      "seed_offset": 1000 * restarts})
-                print(f"[epoch {epoch}] separation {sep:.2f} < "
+                print(f"[epoch {epoch}] {cfg.restart_on} separation "
+                      f"{sep_check:.2f} < "
                       f"{cfg.restart_min_sep} after "
                       f"{cfg.restart_check_epoch} epochs — restart "
                       f"{restarts}/{cfg.max_restarts} with seed offset "

@@ -147,9 +147,9 @@ def test_pareto_front():
 
 
 def test_train_preset_applies_and_explicit_flags_override(monkeypatch):
-    """--preset flagship loads the measured recipe's defaults
-    (RESULTS.md "7-seed replication" + mitigations) while explicit
-    flags still win."""
+    """--preset flagship loads the measured preset-v2 recipe's defaults
+    (RESULTS.md "Preset v2 measured": L1 brake + strict restart, full
+    anneal) while explicit flags still win."""
     captured = {}
     monkeypatch.setattr(cli, "cmd_train",
                         lambda args: captured.update(vars(args)))
@@ -158,11 +158,21 @@ def test_train_preset_applies_and_explicit_flags_override(monkeypatch):
     assert captured["contrast_on"] == "p"
     assert captured["contextfree_contrast"] is True
     assert captured["margin"] == 3.5
-    assert captured["final_temp"] == 0.55
+    assert captured["final_temp"] == 0.2        # full anneal, no floor
+    assert captured["l1_logits"] == 0.1         # the measured logit brake
+    assert captured["restart_min_sep"] == 10.0  # strict basin check
     assert captured["eval_noise_ratio"] == 0.1
     assert captured["select_by"] == "combined"
     assert captured["restart_check_epoch"] == 250
     assert captured["epochs"] == 3          # explicit flag overrides preset
+
+    # The superseded round-3 default stays reproducible as flagship-v1.
+    captured.clear()
+    cli.main(["train", "--preset", "flagship-v1", "--video",
+              "chinese_chess", "--frames-dir", "unused"])
+    assert captured["final_temp"] == 0.55
+    assert captured["l1_logits"] == 0.0
+    assert captured["restart_min_sep"] == 3.0
 
 
 def test_train_preset_percep(monkeypatch):
@@ -257,3 +267,25 @@ def test_cli_encode_roundtrip(tmp_path, video_dir):
     np.testing.assert_array_equal(
         SymbolStore.load(out2).codes,
         SymbolStore.load(tmp_path / "s3.npz").codes)
+
+
+def test_cli_interpolate_random_ckpt(tmp_path, video_dir, monkeypatch):
+    """``interpolate --ckpt random`` runs the full encode→slerp→decode
+    pipeline on a seeded random init (the environment ships no trained SD
+    weights; reference demo ``ldm_embedding_interpol.py:162-184``) and
+    writes the grid figure. Shrunk AE config so the CPU suite stays fast."""
+    import functools
+
+    import svtpu.config as config_mod
+    from svtpu.config import PerceptualConfig
+
+    # ch must stay a multiple of the AE's 32-group GroupNorm.
+    small = functools.partial(
+        PerceptualConfig, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+        resize_wh=(32, 32))
+    monkeypatch.setattr(config_mod, "PerceptualConfig", small)
+    out = tmp_path / "interp.png"
+    cli.main(["interpolate", str(video_dir / "0000000000.jpg"),
+              str(video_dir / "0000000047.jpg"), "--ckpt", "random",
+              "--steps", "3", "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0

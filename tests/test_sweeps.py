@@ -136,6 +136,111 @@ def test_local_sweep_contrastive_z(tmp_path):
     assert np.isfinite(t["best_combined_score"])
 
 
+def test_wandb_sweep_branch_with_mock(tmp_path, monkeypatch):
+    """Exercise the W&B Bayesian-sweep branch end-to-end against a mocked
+    ``wandb`` module (the environment is zero-egress, so the real agent
+    can never run here). The mock plays the sweep controller: it samples
+    each trial's config from the submitted sweep ``parameters`` — exactly
+    what ``wandb.agent`` does remotely — so ``run_sweep(use_wandb=True)``
+    drives real training through ``train_with_config``. Mirrors the
+    reference's sweep entry (``contrastive_RBVAE_wandb_sweep.py:248-257``:
+    ``wandb.sweep`` + ``wandb.agent(..., count)``)."""
+    import sys
+    import types
+
+    from svtpu.config import VideoMeta
+    from svtpu.sweeps import runner
+
+    class ArrayStore:
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.array = rng.integers(0, 255, (48, 16, 16, 3),
+                                      dtype=np.uint8)
+
+        @property
+        def item_shape(self):
+            return self.array.shape[1:]
+
+        def gather(self, idx):
+            return self.array[np.asarray(idx)]
+
+    calls = {"sweep": [], "init": 0, "log": [], "save": [], "finish": 0}
+    rng = np.random.default_rng(7)
+
+    def _sample_from_wandb_params(params):
+        cfg = {}
+        for name, spec in params.items():
+            if "value" in spec:
+                cfg[name] = spec["value"]
+            elif "values" in spec:
+                cfg[name] = spec["values"][int(rng.integers(
+                    len(spec["values"])))]
+            elif spec.get("distribution") == "log_uniform_values":
+                lo, hi = np.log(spec["min"]), np.log(spec["max"])
+                cfg[name] = float(np.exp(rng.uniform(lo, hi)))
+            elif spec.get("distribution") == "int_uniform":
+                cfg[name] = int(rng.integers(spec["min"], spec["max"] + 1))
+            else:  # uniform
+                cfg[name] = float(rng.uniform(spec["min"], spec["max"]))
+        return cfg
+
+    class FakeRun:
+        def __init__(self, config, idx):
+            self.config = config
+            self.name = f"mock_{idx}"
+            self.id = f"id_{idx}"
+
+        def finish(self):
+            calls["finish"] += 1
+
+    mock = types.ModuleType("wandb")
+
+    def fake_sweep(cfg, project=None):
+        calls["sweep"].append((cfg, project))
+        return "sweep_123"
+
+    def fake_init():
+        cfg = _sample_from_wandb_params(calls["sweep"][-1][0]["parameters"])
+        run = FakeRun(cfg, calls["init"])
+        calls["init"] += 1
+        return run
+
+    def fake_agent(sweep_id, function=None, count=1):
+        assert sweep_id == "sweep_123"
+        for _ in range(count):
+            function()
+
+    mock.sweep = fake_sweep
+    mock.init = fake_init
+    mock.agent = fake_agent
+    mock.log = lambda d: calls["log"].append(d)
+    mock.save = lambda p: calls["save"].append(p)
+    monkeypatch.setitem(sys.modules, "wandb", mock)
+
+    meta = VideoMeta("t", flags=(16, 32), last_frame=47, grey_out=0)
+    tiny = dict(runner.SPACES["contrastive"])
+    tiny.update({"latent_dim": ("const", 6), "batch_size": ("const", 4),
+                 "num_epochs": ("const", 1)})
+    monkeypatch.setitem(runner.SPACES, "contrastive", tiny)
+
+    res = runner.run_sweep("contrastive", ArrayStore(), meta, count=2,
+                           seed=0, save_dir=str(tmp_path), use_wandb=True)
+
+    assert res == {"sweep_id": "sweep_123"}
+    # The sweep config reached wandb.sweep in the reference's shape.
+    sweep_cfg, project = calls["sweep"][0]
+    assert project == "svtpu_contrastive_sweep"
+    assert sweep_cfg["method"] == "bayes"
+    assert sweep_cfg["metric"]["name"] == "best_consistency_score"
+    # Two agent trials ran real training, logged the metric, saved, finished.
+    assert calls["init"] == 2 and calls["finish"] == 2
+    assert len(calls["log"]) == 2
+    assert all(np.isfinite(d["best_consistency_score"])
+               for d in calls["log"])
+    assert len(calls["save"]) == 2
+    assert (tmp_path / "best_model_mock_0").exists()
+
+
 def test_local_sweep_resume(tmp_path, monkeypatch):
     """A re-run over the same save_dir reuses recorded trial summaries
     instead of retraining (interrupted-sweep resume)."""

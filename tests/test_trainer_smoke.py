@@ -428,6 +428,43 @@ def test_auto_restart_on_basin_failure(synth_video):
         assert np.isfinite(tl["total_loss"])
 
 
+def test_restart_on_min_fires_when_mean_is_healthy(synth_video):
+    """restart_on="min" thresholds the WEAKEST pair: a run whose mean
+    separation is healthy but whose min pair is pinned at 0 must restart
+    under "min" and must NOT under the default "mean" (multi-video
+    per-video basin failure: queue15's braked arm held mean 21.9 with one
+    chinchess pair at exactly 0 for 1500 epochs,
+    results/multi_diagnose/braked.jsonl)."""
+    import dataclasses
+
+    def scripted_sep(trainer):
+        # mean 12.5 (healthy), min 0 (one merged pair), det 0.5
+        return lambda params, temperature, seed=0: (
+            0.0, 0.5, np.array([25.0, 0.0]))
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    base = TrainConfig(batch_size=8, num_epochs=3, objective="contrastive",
+                       num_steps_to_update=2, select_by="combined",
+                       restart_check_epoch=1, restart_min_sep=5.0,
+                       max_restarts=1)
+
+    tr_min = Trainer(mcfg, dataclasses.replace(base, restart_on="min"),
+                     store, splits, meta.flags)
+    tr_min.state_separation = scripted_sep(tr_min)
+    hist_min = tr_min.train(num_epochs=3)
+    assert len(hist_min["restarts"]) == 1          # min 0 < 5 -> fires
+
+    tr_mean = Trainer(mcfg, base, store, splits, meta.flags)
+    tr_mean.state_separation = scripted_sep(tr_mean)
+    hist_mean = tr_mean.train(num_epochs=3)
+    assert hist_mean.get("restarts", []) == []     # mean 12.5 >= 5 -> holds
+
+
 def test_restart_resets_best_metric(synth_video, tmp_path):
     """A restart replaces the failed run, so the failed basin's best
     metric must not gate the restarted run's checkpoints — a collapsed
@@ -498,6 +535,103 @@ def test_trap_guard_freezes_anneal(synth_video):
     assert "trap_guard" not in hist2
     temps2 = [tl["temperature"] for tl in hist2["train_losses"]]
     assert temps2[3] < temps[3]
+
+
+def test_selection_tiebreak_never_improving_metric(synth_video, tmp_path):
+    """Regression (queue15 degeneracy): when the selection metric never
+    moves off its initialization — e.g. ``combined_score`` ≡ 0 because
+    min-aggregated separation stays 0 — strict-greater selection kept the
+    FIRST epoch as "best" (delivered clean 0.143 vs 0.887 for "latest",
+    results/multi_diagnose/eval_braked). The lexicographic tie-breaks
+    (det-consistency, then mean separation, then epoch) must promote the
+    most-converged epoch instead. The reference shares the scalar blind
+    spot (``contrastive_RBVAE_train.py:662-673``)."""
+    import dataclasses
+
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    trainer, _, _ = _setup(synth_video)
+    trainer.cfg = dataclasses.replace(trainer.cfg, select_by="combined")
+    # Scripted metric trajectory: separation pinned at 0 (=> combined ≡ 0
+    # whatever consistency does), det-consistency peaking at epoch 2.
+    det_by_epoch = [0.2, 0.5, 0.9, 0.7]
+    calls = []
+
+    def fake_sep(params, temperature, seed=0):
+        e = len(calls)
+        calls.append(e)
+        return 0.0, det_by_epoch[e], np.zeros(2)
+
+    trainer.state_separation = fake_sep
+    hist = trainer.train(num_epochs=4, save_path=str(tmp_path / "ck"))
+    assert all(v["combined_score"] == 0.0 for v in hist["val_losses"])
+    assert hist["best_epoch"] == 2                  # det tie-break, not 0
+    _, meta = BestCheckpointer(str(tmp_path / "ck")).restore("best")
+    assert int(meta["epoch"]) == 2
+
+
+def test_selection_tiebreak_mean_sep_then_epoch(synth_video, tmp_path):
+    """Deeper tie levels: equal metric AND det-consistency falls through
+    to mean separation; all-equal falls through to the later epoch (the
+    most-trained among exact ties)."""
+    import dataclasses
+
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    trainer, _, _ = _setup(synth_video)
+    trainer.cfg = dataclasses.replace(trainer.cfg, select_by="combined")
+    # combined ≡ 0 (sep scalar 0), det constant, mean-sep via the ham
+    # vector peaks at epoch 1; epochs 2-3 tie with epoch 1 nowhere.
+    hams = [np.array([0.0, 2.0]), np.array([4.0, 6.0]),
+            np.array([1.0, 1.0]), np.array([1.0, 1.0])]
+    calls = []
+
+    def fake_sep(params, temperature, seed=0):
+        e = len(calls)
+        calls.append(e)
+        return 0.0, 0.5, hams[e]
+
+    trainer.state_separation = fake_sep
+    hist = trainer.train(num_epochs=4, save_path=str(tmp_path / "ck"))
+    assert hist["best_epoch"] == 1                  # mean-sep tie-break
+    assert hist["best_ham_vector"] == [4, 6]
+    _, meta = BestCheckpointer(str(tmp_path / "ck")).restore("best")
+    assert int(meta["epoch"]) == 1
+
+    # All three levels equal -> the later epoch wins.
+    trainer2, _, _ = _setup(synth_video)
+    trainer2.cfg = dataclasses.replace(trainer2.cfg, select_by="combined")
+    trainer2.state_separation = (
+        lambda params, temperature, seed=0: (0.0, 0.5, np.array([3.0])))
+    sc = trainer2.state_consistency
+
+    def const_consistency(params, temperature, noise=True, seed=0):
+        w, pct = sc(params, temperature, noise=noise, seed=seed)
+        return 0.0, pct
+
+    trainer2.state_consistency = const_consistency
+    hist2 = trainer2.train(num_epochs=3, save_path=str(tmp_path / "ck2"))
+    assert hist2["best_epoch"] == 2
+    _, meta2 = BestCheckpointer(str(tmp_path / "ck2")).restore("best")
+    assert int(meta2["epoch"]) == 2
+
+
+def test_best_checkpointer_sel_key_lexicographic(tmp_path):
+    """BestCheckpointer with sel_key promotes lexicographically and stays
+    backward-compatible with the scalar path."""
+    from svtpu.training.checkpoints import BestCheckpointer
+
+    ck = BestCheckpointer(tmp_path / "lex", mode="max")
+    assert ck.save({"w": np.zeros(1)}, epoch=0, metric=0.0,
+                   sel_key=(0.0, 0.2, 1.0, 0))
+    # Same metric, higher det tie-break -> promotes.
+    assert ck.save({"w": np.ones(1)}, epoch=1, metric=0.0,
+                   sel_key=(0.0, 0.9, 0.0, 1))
+    # Lower det -> does not, even with a later epoch.
+    assert not ck.save({"w": np.ones(1) * 2}, epoch=2, metric=0.0,
+                       sel_key=(0.0, 0.5, 9.0, 2))
+    _, meta = ck.restore("best")
+    assert int(meta["epoch"]) == 1
 
 
 def test_l1_logits_wiring(synth_video):
