@@ -869,6 +869,35 @@ def bench_staged_vs_host(epochs=3):
           flush=True)
 
 
+def bench_val_cadence(epochs=6):
+    """Full train-LOOP wall-clock per epoch vs the val_every probe
+    cadence, flagship geometry. The measured per-epoch cost on small
+    datasets is dominated by the validation block (val losses +
+    consistency/separation probes), not the train updates (RESULTS.md
+    "Training path"); ``val_every=N`` skips the block on non-probe
+    epochs, so this bench puts a number on the lever the reference
+    cannot express (it validates every epoch unconditionally,
+    ``contrastive_RBVAE_train.py:640-676``)."""
+    import dataclasses
+
+    out = {}
+    for ve in (1, 5):
+        tr = _mk_trainer(ctxfree=True)
+        tr.cfg = dataclasses.replace(tr.cfg, val_every=ve)
+        tr.train(num_epochs=2)                  # compile + warm every path
+        t0 = time.perf_counter()
+        hist = tr.train(num_epochs=epochs)
+        dt = (time.perf_counter() - t0) / epochs
+        probed = sum(1 for v in hist["val_losses"] if v)
+        out[ve] = dt
+        print(json.dumps({"bench": "val_cadence", "val_every": ve,
+                          "epoch_sec": round(dt, 3),
+                          "probed_epochs": probed}), flush=True)
+    print(json.dumps({"bench": "val_cadence",
+                      "speedup_val_every_5": round(out[1] / out[5], 2)}),
+          flush=True)
+
+
 def bench_sd_encoder_breakdown(batch=8, reps=4):
     """SD AutoencoderKL encoder at 1280x704: FLOP-counted MFU for the full
     path + per-stage (conv_in / levels / mid attn / out) timing with the
@@ -1067,6 +1096,7 @@ if __name__ == "__main__":
         "breakdown": bench_encode_breakdown,
         "train_path": bench_train_path,
         "staged_vs_host": bench_staged_vs_host,
+        "val_cadence": bench_val_cadence,
         "sd_breakdown": bench_sd_encoder_breakdown,
         "conv0_ab": bench_conv0_ab,
         "convopt_train_ab": bench_convopt_train_ab,

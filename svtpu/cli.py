@@ -286,6 +286,7 @@ def cmd_train(args):
         restart_on=args.restart_on,
         trap_guard_ratio=args.trap_guard_ratio,
         l1_logits=args.l1_logits,
+        val_every=args.val_every,
         log_dir=args.log_dir, seed=args.seed)
     trainer = Trainer(mcfg, tcfg, store, splits,
                       meta.flags if meta is not None else [],
@@ -810,6 +811,12 @@ def main(argv=None):
                     help="L1 coefficient on the binarization logits "
                          "(brake on the |h| growth driving the trap; "
                          "0 disables)")
+    sp.add_argument("--val-every", type=int, default=1,
+                    help="run the validation/probe block every N epochs "
+                         "(selection, basin check and trap guard only see "
+                         "probed epochs; the final and restart-check "
+                         "epochs are always probed). On small datasets "
+                         "probes dominate per-epoch wall-clock")
     sp.add_argument("--lstm-residual", action="store_true",
                     help="identity paths around width-preserving LSTM "
                          "layers (svtpu extension; see DESIGN.md §8)")

@@ -351,6 +351,17 @@ class TrainConfig:
     # N epochs (``latest`` is otherwise only written on metric improvement,
     # which can stall for hundreds of epochs on plateaus). 0 disables.
     latest_every: int = 25
+    # Run the validation block (val losses + consistency/separation
+    # probes) every N epochs instead of every epoch. On small datasets
+    # the per-epoch wall-clock is dominated by the probes, not the train
+    # step (RESULTS.md "Training path": flagship geometry ~0.57 s of
+    # train updates vs ~0.9 s of validation per epoch), so N>1 buys a
+    # direct wall-clock reduction at the cost of selection granularity:
+    # best-checkpoint selection, the basin/restart check, and the trap
+    # guard only observe probed epochs. The final epoch and the restart
+    # check epoch are always probed. 1 = every epoch (the reference's
+    # behavior, ``contrastive_RBVAE_train.py:640-676``).
+    val_every: int = 1
     # Auto-restart on basin failure (svtpu addition; the reference has no
     # recovery from a bad init). The round-3 5-seed replication showed a
     # bimodal outcome: 4/5 seeds separate >=14 bits, 1/5 never leaves the

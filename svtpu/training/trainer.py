@@ -657,6 +657,15 @@ class Trainer:
                       if cfg.restart_check_epoch else None)
         history["restarts"] = []
 
+        # Probe state carried across non-probe epochs (cfg.val_every > 1):
+        # periodic/melk "latest" saves between probes reuse the last probed
+        # metric/selection key (never promotable — the key already lost or
+        # won its comparison at its own probe epoch) and Hamming vector.
+        metric = history["best_metric"]
+        sel_key = tuple(history["best_key"])
+        ham = np.zeros(0, dtype=np.int64)
+        det_w, sep_mean = 0.0, 0.0
+
         for epoch in range(start_epoch, num_epochs):
             # ---- train (batches prefetched to device 2 steps ahead; with a
             # staged bank only row indices travel, the gather runs on-chip)
@@ -675,80 +684,94 @@ class Trainer:
                     sums[k] = sums.get(k, 0.0) + float(v)
             train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
 
-            # ---- validate
-            vsums, vn = {}, 0
-            vkey = jax.random.fold_in(base_key, 10_000_000 + epoch)
-            vbatches = (self.val_batcher.epoch_indices(0) if staged
-                        else self.val_batcher.epoch(0))
-            for batch in vbatches:
-                b = jax.device_put(jnp.asarray(batch), self._bsh)
-                m = val_step(state.params, b, vkey, self._bank)
-                vn += 1
-                for k, v in m.items():
-                    vsums[k] = vsums.get(k, 0.0) + float(v)
-            val_losses = {k: v / max(vn, 1) for k, v in vsums.items()}
+            # ---- validate (every cfg.val_every epochs — on small datasets
+            # the probes dominate the per-epoch wall-clock, RESULTS.md
+            # "Training path"; the final epoch and the restart-check epoch
+            # are always probed so selection and the basin check see them)
+            probe = (cfg.val_every <= 1
+                     or (epoch - start_epoch) % cfg.val_every == 0
+                     or epoch == num_epochs - 1
+                     or (next_check is not None
+                         and restarts < cfg.max_restarts
+                         and epoch + 1 == next_check))
+            val_losses = {}
+            better = False
+            if probe:
+                vsums, vn = {}, 0
+                vkey = jax.random.fold_in(base_key, 10_000_000 + epoch)
+                vbatches = (self.val_batcher.epoch_indices(0) if staged
+                            else self.val_batcher.epoch(0))
+                for batch in vbatches:
+                    b = jax.device_put(jnp.asarray(batch), self._bsh)
+                    m = val_step(state.params, b, vkey, self._bank)
+                    vn += 1
+                    for k, v in m.items():
+                        vsums[k] = vsums.get(k, 0.0) + float(v)
+                val_losses = {k: v / max(vn, 1) for k, v in vsums.items()}
 
-            score, per_state = self.state_consistency(
-                state.params, cfg.final_temperature, seed=epoch)
-            val_losses["consistency_score"] = float(score)
-            sep, det_w, ham = self.state_separation(state.params,
-                                                    cfg.final_temperature)
-            sep_mean = float(ham.mean()) if len(ham) else 0.0
-            val_losses["state_separation"] = sep
-            val_losses["sep_mean"] = sep_mean
-            val_losses["sep_min"] = float(ham.min()) if len(ham) else 0.0
-            # Full per-pair vector (one scalar key per adjacent pair) so a
-            # delivered checkpoint's weakest pair is visible in every
-            # history/TB record, not just at eval time (queue14 seed 7
-            # shipped [20, 23, 23, 1] invisibly; RESULTS.md).
-            for i, h in enumerate(ham):
-                val_losses[f"sep_pair_{i}"] = float(h)
-            val_losses["det_consistency_score"] = det_w
-            val_losses["combined_score"] = float(score) * min(
-                sep / cfg.sep_target, 1.0)
-            for i, p in enumerate(per_state):
-                val_losses[f"state_{i}_consistency"] = float(p)
+                score, per_state = self.state_consistency(
+                    state.params, cfg.final_temperature, seed=epoch)
+                val_losses["consistency_score"] = float(score)
+                sep, det_w, ham = self.state_separation(
+                    state.params, cfg.final_temperature)
+                sep_mean = float(ham.mean()) if len(ham) else 0.0
+                val_losses["state_separation"] = sep
+                val_losses["sep_mean"] = sep_mean
+                val_losses["sep_min"] = float(ham.min()) if len(ham) else 0.0
+                # Full per-pair vector (one scalar key per adjacent pair) so
+                # a delivered checkpoint's weakest pair is visible in every
+                # history/TB record, not just at eval time (queue14 seed 7
+                # shipped [20, 23, 23, 1] invisibly; RESULTS.md).
+                for i, h in enumerate(ham):
+                    val_losses[f"sep_pair_{i}"] = float(h)
+                val_losses["det_consistency_score"] = det_w
+                val_losses["combined_score"] = float(score) * min(
+                    sep / cfg.sep_target, 1.0)
+                for i, p in enumerate(per_state):
+                    val_losses[f"state_{i}_consistency"] = float(p)
 
-            # Adaptive trap guard: keep the measured |h|/T ratio at or
-            # below the configured band by RAISING the temperature floor
-            # to |h|/ratio as the logit scale grows. A one-time freeze is
-            # not enough — the causal seed-8 arm froze at T=1.59 and still
-            # eroded 460 epochs later because |h| kept growing at the
-            # frozen temperature (RESULTS.md "trap guard").
-            if cfg.trap_guard_ratio > 0:
-                abs_h = self._ctxfree_h_scale(state.params)
-                val_losses["ctxfree_abs_h"] = abs_h
-                needed = abs_h / cfg.trap_guard_ratio
-                if needed > float(self._temp_floor):
-                    self._temp_floor = jnp.asarray(needed, jnp.float32)
-                    ev = history.setdefault(
-                        "trap_guard", {"first_raise_epoch": epoch,
-                                       "raises": 0})
-                    ev["raises"] += 1
-                    ev["floor"] = float(needed)
-                    ev["abs_h"] = abs_h
-                    ev["epoch"] = epoch
+                # Adaptive trap guard: keep the measured |h|/T ratio at or
+                # below the configured band by RAISING the temperature floor
+                # to |h|/ratio as the logit scale grows. A one-time freeze is
+                # not enough — the causal seed-8 arm froze at T=1.59 and
+                # still eroded 460 epochs later because |h| kept growing at
+                # the frozen temperature (RESULTS.md "trap guard").
+                if cfg.trap_guard_ratio > 0:
+                    abs_h = self._ctxfree_h_scale(state.params)
+                    val_losses["ctxfree_abs_h"] = abs_h
+                    needed = abs_h / cfg.trap_guard_ratio
+                    if needed > float(self._temp_floor):
+                        self._temp_floor = jnp.asarray(needed, jnp.float32)
+                        ev = history.setdefault(
+                            "trap_guard", {"first_raise_epoch": epoch,
+                                           "raises": 0})
+                        ev["raises"] += 1
+                        ev["floor"] = float(needed)
+                        ev["abs_h"] = abs_h
+                        ev["epoch"] = epoch
 
             self.writer.scalars("Epoch/Train", train_losses, epoch)
-            self.writer.scalars("Epoch/Val", val_losses, epoch)
+            if probe:
+                self.writer.scalars("Epoch/Val", val_losses, epoch)
 
-            metric = val_losses[{
-                "consistency": "consistency_score",
-                "separation": "state_separation",
-                "combined": "combined_score",
-                "val_loss": "total_loss"}[cfg.select_by]]
-            # Lexicographic selection key: primary metric first, then
-            # det-consistency, mean separation, and epoch as tie-breaks.
-            # A strict-greater scalar compare degenerates when the metric
-            # never moves off its initialization — queue15's min-aggregated
-            # multi-video run had combined ≡ 0 throughout, so "best" stayed
-            # the FIRST epoch (clean 0.143 vs 0.887 for "latest",
-            # results/multi_diagnose/eval_braked). The reference shares the
-            # blind spot (contrastive_RBVAE_train.py:662-673, same
-            # greater-than pattern); the tie-breaks fix it here.
-            sign = 1.0 if maximize else -1.0
-            sel_key = (sign * metric, det_w, sep_mean, epoch)
-            better = sel_key > tuple(history["best_key"])
+                metric = val_losses[{
+                    "consistency": "consistency_score",
+                    "separation": "state_separation",
+                    "combined": "combined_score",
+                    "val_loss": "total_loss"}[cfg.select_by]]
+                # Lexicographic selection key: primary metric first, then
+                # det-consistency, mean separation, and epoch as tie-breaks.
+                # A strict-greater scalar compare degenerates when the
+                # metric never moves off its initialization — queue15's
+                # min-aggregated multi-video run had combined ≡ 0
+                # throughout, so "best" stayed the FIRST epoch (clean 0.143
+                # vs 0.887 for "latest", results/multi_diagnose/eval_braked).
+                # The reference shares the blind spot
+                # (contrastive_RBVAE_train.py:662-673, same greater-than
+                # pattern); the tie-breaks fix it here.
+                sign = 1.0 if maximize else -1.0
+                sel_key = (sign * metric, det_w, sep_mean, epoch)
+                better = sel_key > tuple(history["best_key"])
             if better:
                 history["best_metric"] = metric
                 history["best_key"] = list(sel_key)
@@ -773,11 +796,13 @@ class Trainer:
             # relay): SVTPU_EPOCH_LOG=N prints every N epochs.
             hb = int(os.environ.get("SVTPU_EPOCH_LOG", "0") or 0)
             if hb and (epoch % hb == 0 or epoch == num_epochs - 1):
+                vals = (f"cons {val_losses['consistency_score']:.3f} "
+                        f"det {val_losses['det_consistency_score']:.3f} "
+                        f"sep {val_losses['state_separation']:.2f} "
+                        if probe else "(no probe) ")
                 print(f"[epoch {epoch}] "
                       f"train {train_losses.get('total_loss', 0):.4f} "
-                      f"cons {val_losses['consistency_score']:.3f} "
-                      f"det {val_losses['det_consistency_score']:.3f} "
-                      f"sep {val_losses['state_separation']:.2f} "
+                      f"{vals}"
                       f"best {history['best_metric']:.4f}"
                       f"@{history['best_epoch']}", flush=True)
 
@@ -791,9 +816,13 @@ class Trainer:
             # closing would otherwise be re-rolled spuriously under
             # min-aggregated selection. "min" targets multi-video per-VIDEO
             # basin failure (one pair pinned at 0 behind a healthy mean).
+            # Only probed epochs contribute to the running max (val_every>1
+            # subsamples the trajectory; the check epoch itself is always
+            # probed, so the fire decision never reads stale separation).
             sep_check = (float(ham.min()) if len(ham) else 0.0) \
                 if cfg.restart_on == "min" else sep_mean
-            run_max_sep = max(run_max_sep, sep_check)
+            if probe:
+                run_max_sep = max(run_max_sep, sep_check)
             if (next_check is not None and restarts < cfg.max_restarts
                     and epoch + 1 >= next_check
                     and run_max_sep < cfg.restart_min_sep):
@@ -814,6 +843,13 @@ class Trainer:
                 history["best_metric"] = -np.inf if maximize else np.inf
                 history["best_key"] = list(worst_key)
                 history["best_epoch"] = epoch + 1
+                # Drop the failed run's carried probe state too: a periodic
+                # "latest" save before the first post-restart probe must not
+                # promote fresh-init params under the old run's key.
+                metric = history["best_metric"]
+                sel_key = tuple(worst_key)
+                ham = np.zeros(0, dtype=np.int64)
+                det_w, sep_mean = 0.0, 0.0
                 if ckpt:
                     ckpt.best_metric = None
                     ckpt.best_key = None

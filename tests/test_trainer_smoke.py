@@ -660,3 +660,59 @@ def test_l1_logits_wiring(synth_video):
     assert "l1_loss" not in hist2["train_losses"][-1]
     h_free = tr2._ctxfree_h_scale(hist2["final_state"].params)
     assert h_l1 < h_free
+
+
+def test_val_every_probe_cadence(synth_video, tmp_path):
+    """val_every=3 runs the probe block only on cadence epochs plus the
+    final epoch; skipped epochs record train losses only, and selection /
+    the best checkpoint only ever see probed epochs (the wall-clock lever:
+    on small datasets the probes dominate the per-epoch cost, RESULTS.md
+    "Training path")."""
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=8, objective="contrastive",
+                       num_steps_to_update=2, select_by="combined",
+                       val_every=3)
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = trainer.train(num_epochs=8, save_path=str(tmp_path / "ckpt"))
+    probed = [e for e, v in enumerate(hist["val_losses"]) if v]
+    assert probed == [0, 3, 6, 7]            # cadence + always-final
+    for e in (1, 2, 4, 5):
+        assert hist["val_losses"][e] == {}
+        assert np.isfinite(hist["train_losses"][e]["total_loss"])
+    assert hist["best_epoch"] in probed
+    for v in (hist["val_losses"][e] for e in probed):
+        assert {"consistency_score", "det_consistency_score",
+                "sep_min"} <= set(v)
+    from svtpu.training.checkpoints import BestCheckpointer
+    ck = BestCheckpointer(str(tmp_path / "ckpt"))
+    _, meta_d = ck.restore("best")
+    assert int(meta_d["epoch"]) in probed
+
+
+def test_val_every_restart_check_still_probes(synth_video):
+    """The restart-check epoch is probed even when it falls off the
+    val_every cadence, so the basin check never reads stale separation."""
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, num_epochs=4, objective="contrastive",
+                       num_steps_to_update=2, select_by="combined",
+                       val_every=5, restart_check_epoch=2,
+                       restart_min_sep=1e9, max_restarts=1)
+    trainer = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    hist = trainer.train(num_epochs=4)
+    # epoch 1 (= check epoch - 1, so "epoch+1 == next_check") is probed
+    # off-cadence and the unreachable bar fires exactly one restart there.
+    assert len(hist["restarts"]) == 1
+    assert hist["restarts"][0]["epoch"] == 1
+    assert hist["val_losses"][1] != {}
+    assert hist["val_losses"][2] == {}       # back to cadence: skipped
+    assert hist["val_losses"][3] != {}       # final epoch always probed
