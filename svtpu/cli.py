@@ -284,6 +284,7 @@ def cmd_train(args):
         restart_min_sep=args.restart_min_sep,
         max_restarts=args.max_restarts,
         restart_on=args.restart_on,
+        restart_reroll=args.restart_reroll,
         trap_guard_ratio=args.trap_guard_ratio,
         l1_logits=args.l1_logits,
         val_every=args.val_every,
@@ -804,6 +805,12 @@ def main(argv=None):
                          "basin check thresholds: mean (calibrated "
                          "single-video default) or min (multi-video "
                          "per-video basin failure)")
+    sp.add_argument("--restart-reroll", choices=["init", "stream"],
+                    default="init",
+                    help="what a restart re-rolls: init (params/optimizer "
+                         "only) or stream (also the train pair table and "
+                         "noise key — for failures that reproduce across "
+                         "inits on one seed's data stream)")
     sp.add_argument("--trap-guard-ratio", type=float, default=0.0,
                     help="keep the anneal floor at mean|h|/ratio (late-"
                          "anneal gradient-trap guard; 0 disables)")

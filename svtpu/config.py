@@ -385,6 +385,19 @@ class TrainConfig:
     # chinchess pair 3 at exactly 0 bits for 1500 epochs,
     # results/multi_diagnose/braked.jsonl).
     restart_on: str = "mean"
+    # What an auto-restart re-rolls. "init" (default): parameters and
+    # optimizer only — the reference-faithful reading of basin failure as
+    # an unlucky init. "stream": ALSO rebuild the train pair table and the
+    # training noise key with the restart's seed offset. Motivation
+    # (measured, RESULTS.md round 4): on flagship seed 7 three independent
+    # param inits (offsets 0/1000/2000) failed IDENTICALLY — pair 3 merged
+    # in every leg — while the one thing the restart did not change was
+    # the run-fixed pair table (built once at init, like the reference,
+    # ``contrastive_RBVAE_train.py:244-294``) and the noise stream; seeds
+    # whose streams differ (3, 6) hold pair 3 fine. Re-rolling only the
+    # init re-rolls the variable that measurably does not carry the
+    # failure.
+    restart_reroll: str = "init"
     # Adaptive anneal guard against the late-anneal gradient trap (svtpu
     # addition). The measured trap condition is the RATIO |h|/T — relaxed
     # probabilities saturate and the p(1-p)/T gradient dies once the

@@ -828,6 +828,18 @@ class Trainer:
                     and run_max_sep < cfg.restart_min_sep):
                 restarts += 1
                 state = self.init_state(seed_offset=1000 * restarts)
+                if cfg.restart_reroll == "stream":
+                    # Re-roll the DATA stream along with the init: the
+                    # s7_v2minrestart arm showed three param inits failing
+                    # identically (pair 3 merged every leg) on the one
+                    # run-fixed thing a plain restart keeps — the pair
+                    # table and noise key (RESULTS.md round 4). Val stays
+                    # fixed so probe metrics remain comparable across legs.
+                    self.train_batcher = PairBatcher(
+                        self.store, self.splits.train, cfg.batch_size,
+                        seed=self.seed + 1000 * restarts)
+                    base_key = jax.random.key(
+                        self.seed + 1 + 1000 * restarts)
                 run_max_sep = 0.0
                 # Restart re-runs the schedule from step 0; lift any frozen
                 # floor along with it.

@@ -716,3 +716,39 @@ def test_val_every_restart_check_still_probes(synth_video):
     assert hist["val_losses"][1] != {}
     assert hist["val_losses"][2] == {}       # back to cadence: skipped
     assert hist["val_losses"][3] != {}       # final epoch always probed
+
+
+def test_restart_reroll_stream_rebuilds_pair_table(synth_video):
+    """restart_reroll="stream" re-rolls the train pair table and noise key
+    on restart; the default "init" keeps them run-fixed (the reference
+    builds pairs once at __init__, contrastive_RBVAE_train.py:244-294).
+    Motivation: three param inits failed identically on one seed's fixed
+    stream (RESULTS.md round 4, s7_v2minrestart)."""
+    import dataclasses
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    all_idx = (list(splits.flat("train")) + list(splits.flat("val"))
+               + list(splits.flat("test")))
+    store = FrameStore(frames_dir, all_idx, resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    base = TrainConfig(batch_size=8, num_epochs=3, objective="contrastive",
+                       num_steps_to_update=2, select_by="combined",
+                       restart_check_epoch=1, restart_min_sep=1e9,
+                       max_restarts=1)
+
+    tr = Trainer(mcfg, dataclasses.replace(base, restart_reroll="stream"),
+                 store, splits, meta.flags)
+    table_before = tr.train_batcher.pair_table.copy()
+    val_table_before = tr.val_batcher.pair_table.copy()
+    hist = tr.train(num_epochs=3)
+    assert len(hist["restarts"]) == 1
+    assert not np.array_equal(tr.train_batcher.pair_table, table_before)
+    # val stays fixed so probe metrics remain comparable across legs
+    assert np.array_equal(tr.val_batcher.pair_table, val_table_before)
+
+    tr2 = Trainer(mcfg, base, store, splits, meta.flags)
+    table2 = tr2.train_batcher.pair_table.copy()
+    hist2 = tr2.train(num_epochs=3)
+    assert len(hist2["restarts"]) == 1
+    assert np.array_equal(tr2.train_batcher.pair_table, table2)
