@@ -51,18 +51,25 @@ class BestCheckpointer:
         Returns True if this became the new best."""
         meta = {"epoch": int(epoch), "metric": float(metric),
                 **(extra or {})}
-        self._write(tree, meta, "latest")
+        # One device→host readback per save() call, shared by the latest
+        # and best writes. Through a thin device link (axon relay) the
+        # readback dominates the save; a val_loss-selected run improves
+        # nearly every early epoch, and the old per-_write conversion made
+        # that a DOUBLE full param+opt_state readback per epoch (measured:
+        # the triplet_p arm crawled at ~30 s/epoch during its early save
+        # storm vs ~2 s once improvements thinned).
+        host_tree = jax.tree_util.tree_map(np.asarray, tree)
+        self._write(host_tree, meta, "latest")
         if self._is_better(metric, sel_key):
             self.best_metric = float(metric)
             if sel_key is not None:
                 self.best_key = tuple(sel_key)
-            self._write(tree, meta, "best")
+            self._write(host_tree, meta, "best")
             return True
         return False
 
-    def _write(self, tree, meta, name):
+    def _write(self, host_tree, meta, name):
         path = self.directory / name
-        host_tree = jax.tree_util.tree_map(np.asarray, tree)
         self._ckpt.save(path, host_tree, force=True)
         (self.directory / f"{name}.json").write_text(json.dumps(meta))
 
