@@ -63,6 +63,41 @@ run_arm s7_v2streamrestart 7 --restart-on min --restart-min-sep 3 \
 
 run_arm s3_ve4 3 --val-every 4 || FAILED=1
 
+# triplet_on=p with flagship-calibrated constants (margin 2.0, beta_kl
+# 0.2, select-by combined): the reference-constants arm (queue3
+# triplet_p) stayed at the 0.128 floor with sep 0 — this arm separates
+# "triplet topology is insufficient" from "the reference constants are"
+# (KL dominance is the measured basin mechanism, RESULTS.md).
+run_triplet_p2() {
+  local OUT="results/eval_triplet_p2"
+  if [ -f "$OUT/done.sentinel" ]; then stage "triplet_p2 (cached)"; return 0; fi
+  stage "triplet_p2"
+  SVTPU_EPOCH_LOG=50 python -u -m svtpu.cli train \
+    --variant triplet --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --latent-dim 25 \
+    --epochs 400 --batch-size 32 --lr 1e-3 \
+    --init-temp 1.0 --final-temp 0.5 --anneal-rate 1e-3 \
+    --num-steps-to-update 4 --bernoulli-p 0.1 \
+    --margin 2.0 --alpha 1.0 --beta-kl 0.2 \
+    --triplet-distance l2 --contrast-on p \
+    --select-by combined --seed 1 \
+    --save-path data/ckpt/triplet_p2 --resume \
+    --history-out "$OUT/history.jsonl" 2>&1 | tail -4
+  [ "${PIPESTATUS[0]}" -eq 0 ] || { echo "=== triplet_p2 train FAILED"; return 1; }
+  python -u -m svtpu.cli eval-consistency --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant triplet \
+    --latent-dim 25 --ckpt data/ckpt/triplet_p2 \
+    --out-dir "$OUT" 2>&1 | tail -3
+  [ "${PIPESTATUS[0]}" -eq 0 ] || { echo "=== triplet_p2 eval-consistency FAILED"; return 1; }
+  python -u -m svtpu.cli eval-hamming --video chinese_chess \
+    --frames-dir data/frames/chinese_chess --variant triplet \
+    --latent-dim 25 --ckpt data/ckpt/triplet_p2 \
+    --out-dir "$OUT" 2>&1 | tail -3
+  [ "${PIPESTATUS[0]}" -eq 0 ] || { echo "=== triplet_p2 eval-hamming FAILED"; return 1; }
+  touch "$OUT/done.sentinel"
+}
+run_triplet_p2 || FAILED=1
+
 stage "bench_val_cadence"
 timeout 2400 python -u benchmarks/bench_suite.py val_cadence \
   2>&1 | tee results/bench_val_cadence.jsonl | tail -4 \
