@@ -898,6 +898,35 @@ def bench_val_cadence(epochs=6):
           flush=True)
 
 
+def bench_fused_epoch(epochs=6):
+    """Full train-LOOP wall-clock per epoch: scan-fused epochs (ONE device
+    dispatch per epoch — the staged bank's same-shape index batches stack
+    to [steps, B, 2, S] and ``lax.scan`` runs the whole epoch inside one
+    jit call, one summed-metric readback) vs the per-step dispatch loop
+    (one relay round-trip per optimizer step plus a per-step metric
+    readback). Targets the residual per-epoch host-side overhead the
+    val_cadence bench pinned (RESULTS.md "Training path"): through the
+    axon relay, dispatch — not probe compute — dominates small-dataset
+    epochs. The reference dispatches every step from Python by
+    construction (``contrastive_RBVAE_train.py:521-560``)."""
+    import dataclasses
+
+    out = {}
+    for tag, fused in (("per_step", False), ("fused", True)):
+        tr = _mk_trainer(ctxfree=True)
+        tr.cfg = dataclasses.replace(tr.cfg, fused_epoch=fused)
+        tr.train(num_epochs=2)                  # compile + warm every path
+        t0 = time.perf_counter()
+        tr.train(num_epochs=epochs)
+        dt = (time.perf_counter() - t0) / epochs
+        out[tag] = dt
+        print(json.dumps({"bench": "fused_epoch", "path": tag,
+                          "epoch_sec": round(dt, 3)}), flush=True)
+    print(json.dumps({"bench": "fused_epoch", "fused_speedup":
+                      round(out["per_step"] / out["fused"], 2)}),
+          flush=True)
+
+
 def bench_sd_encoder_breakdown(batch=8, reps=4):
     """SD AutoencoderKL encoder at 1280x704: FLOP-counted MFU for the full
     path + per-stage (conv_in / levels / mid attn / out) timing with the
@@ -1097,6 +1126,7 @@ if __name__ == "__main__":
         "train_path": bench_train_path,
         "staged_vs_host": bench_staged_vs_host,
         "val_cadence": bench_val_cadence,
+        "fused_epoch": bench_fused_epoch,
         "sd_breakdown": bench_sd_encoder_breakdown,
         "conv0_ab": bench_conv0_ab,
         "convopt_train_ab": bench_convopt_train_ab,

@@ -288,6 +288,7 @@ def cmd_train(args):
         trap_guard_ratio=args.trap_guard_ratio,
         l1_logits=args.l1_logits,
         val_every=args.val_every,
+        fused_epoch=not args.no_fused_epoch,
         log_dir=args.log_dir, seed=args.seed)
     trainer = Trainer(mcfg, tcfg, store, splits,
                       meta.flags if meta is not None else [],
@@ -824,6 +825,11 @@ def main(argv=None):
                          "probed epochs; the final and restart-check "
                          "epochs are always probed). On small datasets "
                          "probes dominate per-epoch wall-clock")
+    sp.add_argument("--no-fused-epoch", action="store_true",
+                    help="dispatch each train step separately instead of "
+                         "scanning the whole epoch in one jit call "
+                         "(fused is the default with a staged frame bank; "
+                         "step math and PRNG streams are identical)")
     sp.add_argument("--lstm-residual", action="store_true",
                     help="identity paths around width-preserving LSTM "
                          "layers (svtpu extension; see DESIGN.md §8)")

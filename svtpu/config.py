@@ -336,6 +336,18 @@ class TrainConfig:
     # the store is <=2 GiB), True (always), False (never). Cuts per-step
     # host->device traffic from the frame batch to KBs of indices.
     stage_frames: object = "auto"
+    # Fuse each training epoch into ONE device dispatch: with a staged
+    # bank every batch is a same-shape row-index array, so the whole
+    # epoch's batches stack into [steps, B, 2, S] and a lax.scan over the
+    # train step runs them in a single jit call. The step sequence, PRNG
+    # folds and update math are identical to the per-step loop (the scan
+    # body IS the train step); what changes is dispatch count — one relay
+    # round-trip per epoch instead of one per step plus one metric
+    # readback per step (the dominant per-epoch cost on small datasets
+    # through the axon relay, RESULTS.md "Training path"). Falls back to
+    # the per-step loop when frames are not staged or per-batch TB
+    # logging (log_every) is requested.
+    fused_epoch: bool = True
     # Multi-chip batch/LR policy. svtpu's batch_size is the GLOBAL batch
     # (sharded over the data axis), so unlike the reference's dormant DDP
     # harness (``main.py:686-690``: lr = accumulate x ngpu x bs x base_lr,

@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 from flax import struct
 
 import optax
@@ -260,7 +261,14 @@ class Trainer:
 
         self._rep = replicated(self.mesh)
         self._bsh = batch_sharding(self.mesh)
+        # Stacked-epoch sharding: [steps, B, ...] index batches split the
+        # BATCH (second) axis over "data"; the steps axis stays whole.
+        self._bsh_epoch = NamedSharding(self.mesh, P(None, "data"))
         self._compiled_train = None
+        self._compiled_epoch = None
+        self._compiled_val_epoch = None
+        self._epoch_metric_names = []
+        self._val_metric_names = []
         # Effective temperature floor fed to the jitted step as a traced
         # scalar; the trap guard (TrainConfig.trap_guard_ratio) raises it.
         self._temp_floor = jnp.asarray(train_cfg.final_temperature,
@@ -337,7 +345,10 @@ class Trainer:
             x = _prep(jnp.asarray(self.store.gather(idx)))[:, None]
         return float(self._h_probe(params, x))
 
-    def _make_train_step(self):
+    def _train_step_body(self):
+        """The (unjitted) train-step body shared by the per-step path and
+        the scan-fused epoch path — one definition so the two modes cannot
+        drift."""
         cfg, model, tx = self.cfg, self.model, self.tx
         obj = self._objective()
 
@@ -369,11 +380,45 @@ class Trainer:
             return TrainState(step=step, params={"params": params},
                               opt_state=opt_state), metrics
 
+        return train_step
+
+    def _make_train_step(self):
         # Output shardings propagate from the (possibly tensor-parallel)
         # input state; donation reuses its buffers.
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(self._train_step_body(), donate_argnums=(0,))
 
-    def _make_val_step(self):
+    def _make_train_epoch(self):
+        """One-dispatch epoch: ``lax.scan`` of the train step over the
+        stacked ``[steps, B, 2, S]`` row-index batches of a staged bank.
+
+        Returns ``(state, metric_vector)`` where the vector holds the
+        per-epoch SUM of each step metric in ``sorted(metrics)`` order
+        (one array → one host readback through the relay; the caller
+        divides by the step count). The metric names are recorded at trace
+        time in ``self._epoch_metric_names``. The reference dispatches
+        every optimizer step from Python
+        (``contrastive_RBVAE_train.py:521-560``); under XLA the whole
+        epoch is one compiled program."""
+        body = self._train_step_body()
+        names = self._epoch_metric_names = []
+
+        def train_epoch(state: TrainState, idx_batches, key, temp_floor,
+                        bank):
+            def step(st, b):
+                st, metrics = body(st, b, key, temp_floor, bank)
+                return st, metrics
+            state, ms = jax.lax.scan(step, state, idx_batches)
+            if not names:
+                names.extend(sorted(ms))
+            vec = jnp.stack([ms[k].sum() for k in sorted(ms)])
+            return state, vec
+
+        return jax.jit(train_epoch, donate_argnums=(0,))
+
+    def _val_step_body(self):
+        """The (unjitted) val-step body shared by the per-batch path and
+        the fused one-dispatch validation — one definition so the two
+        modes cannot drift."""
         cfg, model = self.cfg, self.model
         obj = self._objective()
         # Contrastive/percep validate with hard=True; triplet with hard=False
@@ -399,7 +444,31 @@ class Trainer:
                                    + cfg.alpha * m[aux_key]) / coeff
             return m
 
-        return jax.jit(val_step)
+        return val_step
+
+    def _make_val_step(self):
+        return jax.jit(self._val_step_body())
+
+    def _make_val_epoch(self):
+        """One-dispatch validation: ``lax.map`` of the val step over the
+        stacked ``[nv, B, 2, S]`` row-index batches of a staged bank.
+
+        Returns one summed metric vector (names recorded at trace time in
+        ``self._val_metric_names``; the caller divides by the batch
+        count) — a single relay round-trip replaces one dispatch plus
+        per-key ``float()`` readbacks per val batch. The val set is fixed
+        across epochs, so the stacked indices upload ONCE per run."""
+        body = self._val_step_body()
+        names = self._val_metric_names = []
+
+        def val_epoch(params, idx_batches, key, bank):
+            ms = jax.lax.map(lambda b: body(params, b, key, bank),
+                             idx_batches)
+            if not names:
+                names.extend(sorted(ms))
+            return jnp.stack([ms[k].sum() for k in sorted(ms)])
+
+        return jax.jit(val_epoch)
 
     # ------------------------------------------------------------- encoding
 
@@ -592,9 +661,22 @@ class Trainer:
             raise ValueError("use train_simple() for the simple objective")
         num_epochs = num_epochs or cfg.num_epochs
         state = self.init_state()
-        train_step = self._compiled_train or self._make_train_step()
-        val_step = self._compiled_val or self._make_val_step()
-        self._compiled_train, self._compiled_val = train_step, val_step
+        # Scan-fused epochs need a staged bank (same-shape index batches)
+        # and are incompatible with per-BATCH TB logging (the steps run
+        # inside one compiled program).
+        fused = (cfg.fused_epoch and self._bank is not None
+                 and not log_every)
+        if fused:
+            train_epoch = self._compiled_epoch or self._make_train_epoch()
+            self._compiled_epoch = train_epoch
+            val_epoch = self._compiled_val_epoch or self._make_val_epoch()
+            self._compiled_val_epoch = val_epoch
+            train_step = val_step = None
+        else:
+            train_step = self._compiled_train or self._make_train_step()
+            self._compiled_train = train_step
+            val_step = self._compiled_val or self._make_val_step()
+            self._compiled_val = val_step
 
         maximize = cfg.select_by != "val_loss"
         ckpt = BestCheckpointer(
@@ -649,6 +731,16 @@ class Trainer:
         from svtpu.data.prefetch import prefetch_to_device
 
         staged = self._bank is not None
+        vib = None
+        if fused:
+            # The val set is fixed across epochs (and across stream
+            # restarts — restart_reroll keeps it so probe metrics stay
+            # comparable), so its stacked row-index batches upload ONCE.
+            vb = list(self.val_batcher.epoch_indices(0))
+            if vb:
+                vib = jax.device_put(jnp.asarray(np.stack(vb)),
+                                     self._bsh_epoch)
+                n_vb = len(vb)
 
         # Auto-restart on basin failure (see TrainConfig.restart_check_epoch).
         restarts = 0
@@ -667,22 +759,38 @@ class Trainer:
         det_w, sep_mean = 0.0, 0.0
 
         for epoch in range(start_epoch, num_epochs):
-            # ---- train (batches prefetched to device 2 steps ahead; with a
-            # staged bank only row indices travel, the gather runs on-chip)
-            sums, nb = {}, 0
-            batches = (self.train_batcher.epoch_indices(epoch) if staged
-                       else self.train_batcher.epoch(epoch))
-            for b in prefetch_to_device(batches, self._bsh):
-                state, metrics = train_step(state, b, base_key,
-                                            self._temp_floor, self._bank)
-                nb += 1
-                frames_seen += int(np.prod(b.shape[:3]))
-                if log_every and nb % log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    self.writer.scalars("Batch", m, int(state.step))
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
+            # ---- train. Fused: the whole epoch is ONE dispatch — the
+            # same-shape index batches stack to [steps, B, 2, S] and a
+            # lax.scan of the train step runs on-device; one summed metric
+            # vector comes back (single relay round-trip). Per-step: batches
+            # prefetched to device 2 steps ahead; with a staged bank only
+            # row indices travel, the gather runs on-chip.
+            if fused:
+                idx = np.stack(list(
+                    self.train_batcher.epoch_indices(epoch)))
+                nb = idx.shape[0]
+                ib = jax.device_put(jnp.asarray(idx), self._bsh_epoch)
+                state, vec = train_epoch(state, ib, base_key,
+                                         self._temp_floor, self._bank)
+                frames_seen += int(np.prod(idx.shape[:4]))
+                sums = dict(zip(self._epoch_metric_names,
+                                np.asarray(vec, np.float64)))
+                train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
+            else:
+                sums, nb = {}, 0
+                batches = (self.train_batcher.epoch_indices(epoch) if staged
+                           else self.train_batcher.epoch(epoch))
+                for b in prefetch_to_device(batches, self._bsh):
+                    state, metrics = train_step(state, b, base_key,
+                                                self._temp_floor, self._bank)
+                    nb += 1
+                    frames_seen += int(np.prod(b.shape[:3]))
+                    if log_every and nb % log_every == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        self.writer.scalars("Batch", m, int(state.step))
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
 
             # ---- validate (every cfg.val_every epochs — on small datasets
             # the probes dominate the per-epoch wall-clock, RESULTS.md
@@ -697,17 +805,30 @@ class Trainer:
             val_losses = {}
             better = False
             if probe:
-                vsums, vn = {}, 0
                 vkey = jax.random.fold_in(base_key, 10_000_000 + epoch)
-                vbatches = (self.val_batcher.epoch_indices(0) if staged
-                            else self.val_batcher.epoch(0))
-                for batch in vbatches:
-                    b = jax.device_put(jnp.asarray(batch), self._bsh)
-                    m = val_step(state.params, b, vkey, self._bank)
-                    vn += 1
-                    for k, v in m.items():
-                        vsums[k] = vsums.get(k, 0.0) + float(v)
-                val_losses = {k: v / max(vn, 1) for k, v in vsums.items()}
+                if fused and vib is not None:
+                    # One dispatch + one summed-vector readback for the
+                    # whole val set (the indices are device-resident).
+                    vec = val_epoch(state.params, vib, vkey, self._bank)
+                    val_losses = {
+                        k: v / max(n_vb, 1) for k, v in
+                        zip(self._val_metric_names,
+                            np.asarray(vec, np.float64))}
+                else:
+                    vsums, vn = {}, 0
+                    vbatches = (self.val_batcher.epoch_indices(0) if staged
+                                else self.val_batcher.epoch(0))
+                    for batch in vbatches:
+                        b = jax.device_put(jnp.asarray(batch), self._bsh)
+                        # One host transfer per batch (device_get of the
+                        # whole dict), not one readback per metric key.
+                        m = jax.device_get(
+                            val_step(state.params, b, vkey, self._bank))
+                        vn += 1
+                        for k, v in m.items():
+                            vsums[k] = vsums.get(k, 0.0) + float(v)
+                    val_losses = {k: v / max(vn, 1)
+                                  for k, v in vsums.items()}
 
                 score, per_state = self.state_consistency(
                     state.params, cfg.final_temperature, seed=epoch)

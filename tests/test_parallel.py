@@ -29,6 +29,11 @@ class ArrayStore:
     def gather(self, idx):
         return self.array[np.asarray(idx)]
 
+    def rows(self, idx):
+        # Frame index == bank row (contiguous synthetic store); having
+        # ``rows`` alongside ``array`` makes the store HBM-stageable.
+        return np.asarray(idx)
+
 
 def _trainer(mesh, batch_size=None):
     meta = VideoMeta("p", flags=(16, 32), last_frame=47, grey_out=0)
@@ -84,6 +89,27 @@ def test_tp_shards_big_dense_and_trains():
     b = jax.device_put(jnp.asarray(batch), tr._bsh)
     state, metrics = step(state, b, jax.random.key(0), tr._temp_floor)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_fused_epoch_trains_on_dp_tp_mesh():
+    """The scan-fused epoch program (one dispatch per epoch) compiles and
+    executes over the 2-D data x model mesh: stacked [steps, B, 2, S]
+    index batches shard their BATCH axis over "data" while the TP-sharded
+    projections train through the scan."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    tr = _trainer(mesh)
+    assert tr._bank is not None          # rows+array => staged HBM bank
+    state = tr.init_state()
+    fc = state.params["params"]["encoder_cnn"]["fc"]["kernel"]
+    assert fc.sharding.spec == P("model", None)
+    epoch = tr._make_train_epoch()
+    idx = np.stack(list(tr.train_batcher.epoch_indices(0)))
+    ib = jax.device_put(jnp.asarray(idx), tr._bsh_epoch)
+    state, vec = epoch(state, ib, jax.random.key(0), tr._temp_floor,
+                       tr._bank)
+    assert int(state.step) == idx.shape[0]
+    assert np.all(np.isfinite(np.asarray(vec)))
+    assert "total_loss" in tr._epoch_metric_names
 
 
 def test_dp_matches_single_device_loss():
