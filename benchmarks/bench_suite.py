@@ -915,7 +915,13 @@ def bench_fused_epoch(epochs=6):
     for tag, fused in (("per_step", False), ("fused", True)):
         tr = _mk_trainer(ctxfree=True)
         tr.cfg = dataclasses.replace(tr.cfg, fused_epoch=fused)
-        tr.train(num_epochs=2)                  # compile + warm every path
+        # Warm with >=8 invocations of the OUTER program being timed: the
+        # first 1-3 post-compile calls through the relay run ~50x slow
+        # (CLAUDE.md), and for the fused arm one epoch = ONE program call,
+        # so 2 warm epochs would leave residual slow calls inside the
+        # timed window (the per-step arm gets many warm step calls either
+        # way — warming both arms 8 epochs keeps the comparison symmetric).
+        tr.train(num_epochs=8)                  # compile + warm every path
         t0 = time.perf_counter()
         tr.train(num_epochs=epochs)
         dt = (time.perf_counter() - t0) / epochs

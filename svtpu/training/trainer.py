@@ -766,15 +766,20 @@ class Trainer:
             # prefetched to device 2 steps ahead; with a staged bank only
             # row indices travel, the gather runs on-chip.
             if fused:
-                idx = np.stack(list(
-                    self.train_batcher.epoch_indices(epoch)))
-                nb = idx.shape[0]
-                ib = jax.device_put(jnp.asarray(idx), self._bsh_epoch)
-                state, vec = train_epoch(state, ib, base_key,
-                                         self._temp_floor, self._bank)
-                frames_seen += int(np.prod(idx.shape[:4]))
-                sums = dict(zip(self._epoch_metric_names,
-                                np.asarray(vec, np.float64)))
+                batches = list(self.train_batcher.epoch_indices(epoch))
+                nb = len(batches)
+                if nb:
+                    idx = np.stack(batches)
+                    ib = jax.device_put(jnp.asarray(idx), self._bsh_epoch)
+                    state, vec = train_epoch(state, ib, base_key,
+                                             self._temp_floor, self._bank)
+                    frames_seen += int(np.prod(idx.shape[:4]))
+                    sums = dict(zip(self._epoch_metric_names,
+                                    np.asarray(vec, np.float64)))
+                else:
+                    # Empty epoch: degrade like the per-step loop (nb=0,
+                    # max(nb,1) divisor) instead of np.stack raising.
+                    sums = {}
                 train_losses = {k: v / max(nb, 1) for k, v in sums.items()}
             else:
                 sums, nb = {}, 0

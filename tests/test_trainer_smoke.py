@@ -375,6 +375,25 @@ def test_fused_epoch_matches_per_step_loop(synth_video):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_epoch_empty_train_epoch(synth_video):
+    """An empty train epoch (batcher yields zero batches) must degrade
+    gracefully on the fused path — like the per-step loop's nb=0 — not
+    raise from np.stack([]) (ADVICE r4)."""
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("contrastive", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=8, stage_frames=True)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    assert tr._bank is not None
+    tr.train_batcher.epoch_indices = lambda epoch: iter(())
+    hist = tr.train(num_epochs=1)
+    assert hist["train_losses"][0] == {}
+    assert np.isfinite(hist["val_losses"][0]["consistency_score"])
+
+
 def test_contextfree_contrast_trains(synth_video):
     """contextfree_contrast adds T=1-encode margins to the pair objective
     (the representation the eval protocol actually measures)."""
