@@ -34,7 +34,14 @@ from svtpu.evaluation.hamming import adjacent_hamming, modal_codes
 def main():
     arm = sys.argv[1] if len(sys.argv) > 1 else "beta_low"
     whichs = sys.argv[2:] or ["best", "latest"]
-    tr = build(dict(ARMS[arm]))
+    spec = dict(ARMS[arm])
+    # Strip run_single()'s orchestration keys; apply phase-2 config
+    # overrides (the store/splits the eval needs are unaffected either
+    # way, but TrainConfig would reject unknown keys).
+    spec.pop("_seed", None)
+    spec.pop("_phase2_at", None)
+    spec.update(spec.pop("_phase2", {}) or {})
+    tr = build(spec)
     ckpt_dir = f"data/ckpt/multi_diag_{arm}"
     out_dir = f"results/multi_diagnose/eval_{arm}"
     os.makedirs(out_dir, exist_ok=True)

@@ -18,7 +18,13 @@ horizon with checkpoints + per-epoch history:
     750 epochs (the reference sweep's horizon). Tests whether depth is
     fatal or merely slow at the right lr.
 
-Usage: python scripts/percep_fix_runs.py [tag ...]
+Usage: python scripts/percep_fix_runs.py [tag[@seed] ...]
+
+``tag@N`` runs the same configuration with trainer seed N (run name,
+checkpoint and history become ``<tag>_sN``) — the round-5 seed
+replication of the residual fix (VERDICT r4 item 4: the 0.987 headline
+was one seed, and the repo's own 10-seed study is the argument that one
+seed is not enough). Plain ``tag`` keeps the round-3 behavior (seed 1).
 """
 import json
 import os
@@ -53,6 +59,9 @@ def main():
     splits = split_segments(meta.state_segments(), 0.1, 0.1)
     os.makedirs("results/percep_fix", exist_ok=True)
     for tag in tags:
+        tag, _, seed_s = tag.partition("@")
+        seed = int(seed_s) if seed_s else 1
+        name = f"{tag}_s{seed}" if seed_s else tag
         spec = dict(RUNS[tag])
         # Wall-clock trim hook: EPOCHS_<tag> env caps the horizon; the
         # trainer resumes, so a later longer run extends the same ckpt.
@@ -70,11 +79,11 @@ def main():
             objective="contrastive")
         tkw.update(spec)
         tr = Trainer(mcfg, TrainConfig(**tkw), store, splits, meta.flags,
-                     seed=1)
+                     seed=seed)
         t0 = time.time()
         hist = tr.train(num_epochs=epochs,
-                        save_path=f"data/ckpt/percep_{tag}", resume=True)
-        with open(f"results/percep_fix/{tag}.jsonl", "w") as f:
+                        save_path=f"data/ckpt/percep_{name}", resume=True)
+        with open(f"results/percep_fix/{name}.jsonl", "w") as f:
             for ep, (t, v) in enumerate(zip(hist["train_losses"],
                                             hist["val_losses"])):
                 f.write(json.dumps({"epoch": ep,
@@ -86,7 +95,7 @@ def main():
                    key=lambda v: v.get("combined_score", 0.0))
         last = hist["val_losses"][-1]
         print(json.dumps({
-            "tag": tag, "epochs": epochs,
+            "tag": name, "seed": seed, "epochs": epochs,
             "sec": round(time.time() - t0, 1),
             "best_combined": round(float(best.get("combined_score", 0)), 4),
             "best": {k: round(float(best[k]), 4) for k in

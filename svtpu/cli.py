@@ -272,6 +272,7 @@ def cmd_train(args):
         margin=args.margin, alpha=args.alpha, beta_kl=args.beta_kl,
         contrast_on=args.contrast_on,
         triplet_distance=args.triplet_distance,
+        triplet_pull=args.triplet_pull,
         contextfree_contrast=args.contextfree_contrast,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
@@ -779,6 +780,12 @@ def main(argv=None):
                     help="triplet objective distance: l2 (reference) or "
                          "the Bernoulli-JS variant (reference's dead code, "
                          "fixed)")
+    sp.add_argument("--triplet-pull", type=float, default=0.0,
+                    help="weight of an explicit anchor<->positive pull "
+                         "(contrastive similar-pair term in p-space) added "
+                         "to the triplet objective — the measured repair "
+                         "of the triplet topology's all-codes-unique "
+                         "collapse (RESULTS.md); 0 = reference behavior")
     sp.add_argument("--contextfree-contrast", action="store_true",
                     help="also apply the contrastive margins to T=1 "
                          "encodes (what the eval protocol measures)")

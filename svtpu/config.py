@@ -290,6 +290,20 @@ class TrainConfig:
     # "js" (the reference's defined-but-unused Bernoulli-JS triplet,
     # ``triplet_RBVAE_train.py:99-119``, computed on z_seq probabilities).
     triplet_distance: str = "l2"
+    # Weight of an explicit anchor<->positive pull term added to the
+    # TRIPLET objective: the contrastive similar-pair attraction (squared
+    # distance, label-0 half of ``contrastive_RBVAE_train.py:79-107``)
+    # computed in p-space (``sigmoid(h)``) between the two pair members of
+    # each state. Motivation (measured, RESULTS.md "triplet_on='p'"):
+    # four arms pinned the triplet collapse on its TOPOLOGY — anchor/
+    # positive/negative margins only shape relative distances and are
+    # satisfiable with every frame on a unique code, so nothing rewards
+    # within-state code identity in any parameterization; the contrastive
+    # hinge escapes exactly because of its similar-pair pull. This wires
+    # that one missing force onto the reference's triplet formulation.
+    # 0 disables (the reference triplet, ``triplet_RBVAE_train.py:461-468``,
+    # has no such term).
+    triplet_pull: float = 0.0
     # Representation the contrastive/triplet losses act on: "h" (reference:
     # the continuous encoder-LSTM output), "z" (the relaxed Binary-
     # Concrete probabilities — ties the margin to the binarization boundary

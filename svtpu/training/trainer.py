@@ -85,6 +85,7 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
     """
     x = _prep(batch)
     B, two, S = x.shape[:3]
+    extra_metrics = {}
     xm = jnp.swapaxes(x, 0, 1).reshape((2 * B, S) + x.shape[3:])
     k_drop, k_bin = jax.random.split(key)
     out = model.apply(
@@ -160,6 +161,19 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
             n = h0[:, 1:].reshape(-1, h0.shape[-1])
             aux = losses.triplet_margin(a, p, n, margin=cfg.margin,
                                         swap=True)
+        if cfg.triplet_pull:
+            # The constructive repair of the measured triplet-topology
+            # collapse (RESULTS.md "triplet_on='p'"): an explicit
+            # anchor<->positive pull — the contrastive similar-pair term
+            # (label 0: plain squared distance) on the unit-temperature
+            # bit probabilities — rewards within-state code IDENTITY,
+            # the one force the reference's margins
+            # (``triplet_RBVAE_train.py:461-468``) never supply.
+            pp0 = jax.nn.sigmoid(out.h_seq[:B])
+            pp1 = jax.nn.sigmoid(out.h_seq[B:])
+            pull = losses.contrastive(pp0, pp1, 0.0, margin=cfg.margin)
+            aux = aux + cfg.triplet_pull * pull
+            extra_metrics = {"pull_loss": pull}
         aux_name = "triplet_loss"
     else:
         raise ValueError(cfg.objective)
@@ -176,7 +190,7 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
         l1 = cfg.l1_logits * jnp.abs(out.h_seq).sum(-1).mean()
         total = total + l1
     metrics = {"total_loss": total, "recon_loss": recon, "kl_loss": kl,
-               aux_name: aux}
+               aux_name: aux, **extra_metrics}
     if cfg.l1_logits:
         metrics["l1_loss"] = l1
     return total, metrics

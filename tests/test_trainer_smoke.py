@@ -170,6 +170,48 @@ def test_triplet_js_objective(synth_video):
     assert np.isfinite(hist["train_losses"][0]["triplet_loss"])
 
 
+def test_triplet_pull_term(synth_video):
+    """``triplet_pull`` adds exactly weight x the contrastive similar-pair
+    term on sigmoid(h) to the triplet aux loss — the constructive repair
+    of the measured triplet-topology collapse (RESULTS.md
+    "triplet_on='p'"). weight=0 must be the reference objective
+    (``triplet_RBVAE_train.py:461-468``) bit-for-bit."""
+    import dataclasses
+
+    from svtpu.training.trainer import pair_objective
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("triplet", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=4, objective="triplet",
+                       select_by="val_loss", triplet_pull=2.0)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    params = tr.init_state().params
+    import jax.numpy as jnp
+
+    batch = jnp.asarray(next(iter(tr.train_batcher.epoch(0))))
+    key = jax.random.key(0)
+
+    _, m_pull = pair_objective(tr.model, tcfg, params, batch, 1.0, False,
+                               key, deterministic=True)
+    cfg0 = dataclasses.replace(tcfg, triplet_pull=0.0)
+    _, m_ref = pair_objective(tr.model, cfg0, params, batch, 1.0, False,
+                              key, deterministic=True)
+    assert "pull_loss" in m_pull and "pull_loss" not in m_ref
+    pull = float(m_pull["pull_loss"])
+    assert pull > 0
+    np.testing.assert_allclose(
+        float(m_pull["triplet_loss"]),
+        float(m_ref["triplet_loss"]) + 2.0 * pull, rtol=1e-5)
+
+    # And the wired trainer runs with it.
+    hist = tr.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["pull_loss"])
+
+
 def test_best_checkpointer_modes(tmp_path):
     from svtpu.training.checkpoints import BestCheckpointer
 
