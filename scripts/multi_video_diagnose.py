@@ -188,8 +188,9 @@ def run_single(arm, total):
     phase2_at = spec.pop("_phase2_at", None)
     ckpt_dir = f"data/ckpt/multi_diag_{arm}"
     out_path = f"results/multi_diagnose/{arm}.jsonl"
-    phases = [(spec, phase2_at if phase2 is not None else total)]
-    if phase2 is not None:
+    phases = [(spec, min(phase2_at, total) if phase2 is not None
+               else total)]
+    if phase2 is not None and total > phase2_at:
         phases.append(({**spec, **phase2}, total))
     os.makedirs("results/multi_diagnose", exist_ok=True)
     mode = "a" if os.path.exists(out_path) else "w"
