@@ -898,7 +898,7 @@ def bench_val_cadence(epochs=6):
           flush=True)
 
 
-def bench_fused_epoch(epochs=6):
+def bench_fused_epoch(epochs=6, batch=32):
     """Full train-LOOP wall-clock per epoch: scan-fused epochs (ONE device
     dispatch per epoch — the staged bank's same-shape index batches stack
     to [steps, B, 2, S] and ``lax.scan`` runs the whole epoch inside one
@@ -913,7 +913,7 @@ def bench_fused_epoch(epochs=6):
 
     out = {}
     for tag, fused in (("per_step", False), ("fused", True)):
-        tr = _mk_trainer(ctxfree=True)
+        tr = _mk_trainer(ctxfree=True, batch=batch)
         tr.cfg = dataclasses.replace(tr.cfg, fused_epoch=fused)
         # Warm with >=8 invocations of the OUTER program being timed: the
         # first 1-3 post-compile calls through the relay run ~50x slow
@@ -926,9 +926,11 @@ def bench_fused_epoch(epochs=6):
         tr.train(num_epochs=epochs)
         dt = (time.perf_counter() - t0) / epochs
         out[tag] = dt
-        print(json.dumps({"bench": "fused_epoch", "path": tag,
+        print(json.dumps({"bench": "fused_epoch", "batch": batch,
+                          "path": tag,
                           "epoch_sec": round(dt, 3)}), flush=True)
-    print(json.dumps({"bench": "fused_epoch", "fused_speedup":
+    print(json.dumps({"bench": "fused_epoch", "batch": batch,
+                      "fused_speedup":
                       round(out["per_step"] / out["fused"], 2)}),
           flush=True)
 
@@ -1121,6 +1123,9 @@ if __name__ == "__main__":
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "fused_epoch" and len(sys.argv) > 2:
+        bench_fused_epoch(batch=int(sys.argv[2]))
+        sys.exit(0)
     benches = {
         "rbvae_encode": bench_rbvae_encode,
         "sampler_ab": bench_sampler_ab,
