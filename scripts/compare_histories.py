@@ -17,8 +17,8 @@ import sys
 def main():
     a, b = sys.argv[1], sys.argv[2]
     rtol = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-3
-    ra = [json.loads(l) for l in open(a)]
-    rb = [json.loads(l) for l in open(b)]
+    ra = [r for r in (json.loads(l) for l in open(a)) if "epoch" in r]
+    rb = [r for r in (json.loads(l) for l in open(b)) if "epoch" in r]
     worst = (0.0, None, None)
     n = min(len(ra), len(rb))
     for i in range(n):

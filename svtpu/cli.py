@@ -329,6 +329,15 @@ def cmd_train(args):
                                        for k, x in t.items()},
                                     **{k: round(float(x), 6)
                                        for k, x in v.items()}}) + "\n")
+            # Trailing meta row (no "epoch" key): restart events would
+            # otherwise exist only on stdout and vanish through piped
+            # tails in queue scripts.
+            meta = {"best_epoch": hist["best_epoch"],
+                    "best_metric": float(hist["best_metric"]),
+                    "wall_time_s": round(hist.get("wall_time_s", 0.0), 1)}
+            if hist.get("restarts"):
+                meta["restarts"] = hist["restarts"]
+            f.write(json.dumps({"meta": meta}) + "\n")
         print(f"history -> {p}")
 
 
