@@ -273,6 +273,7 @@ def cmd_train(args):
         contrast_on=args.contrast_on,
         triplet_distance=args.triplet_distance,
         triplet_pull=args.triplet_pull,
+        triplet_push=args.triplet_push,
         contextfree_contrast=args.contextfree_contrast,
         objective=("triplet" if args.variant == "triplet" else
                    "simple" if args.variant == "simple" else "contrastive"),
@@ -795,6 +796,13 @@ def main(argv=None):
                          "to the triplet objective — the measured repair "
                          "of the triplet topology's all-codes-unique "
                          "collapse (RESULTS.md); 0 = reference behavior")
+    sp.add_argument("--triplet-push", type=float, default=0.0,
+                    help="weight of an ABSOLUTE dissimilar margin on the "
+                         "triplet's own (anchor, negative) frames in "
+                         "p-space — the scale-growing force the relative "
+                         "triplet margin lacks (the pull alone is inert "
+                         "at the |h|~0 fixed point, RESULTS.md 'triplet "
+                         "repair'); 0 = reference behavior")
     sp.add_argument("--contextfree-contrast", action="store_true",
                     help="also apply the contrastive margins to T=1 "
                          "encodes (what the eval protocol measures)")

@@ -304,6 +304,16 @@ class TrainConfig:
     # 0 disables (the reference triplet, ``triplet_RBVAE_train.py:461-468``,
     # has no such term).
     triplet_pull: float = 0.0
+    # Round-5 measurement (RESULTS.md "triplet repair"): the pull alone is
+    # INERT at the triplet's collapsed fixed point — |h| never leaves ~0,
+    # where p-space distances are O(1e-9) while deterministic codes are
+    # hair-trigger sign patterns, so the pull supplies no force at any
+    # weight. The scale-growing force the contrastive objective has and
+    # the triplet lacks is its DISSIMILAR hinge. triplet_push wires that
+    # one force on: an ABSOLUTE margin on the triplet's own
+    # (anchor, negative) frames in p-space — max(0, margin - d(p_a, p_n))²
+    # — replacing nothing (the relative triplet margin stays), 0 disables.
+    triplet_push: float = 0.0
     # Representation the contrastive/triplet losses act on: "h" (reference:
     # the continuous encoder-LSTM output), "z" (the relaxed Binary-
     # Concrete probabilities — ties the margin to the binarization boundary

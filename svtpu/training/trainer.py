@@ -174,6 +174,20 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
             pull = losses.contrastive(pp0, pp1, 0.0, margin=cfg.margin)
             aux = aux + cfg.triplet_pull * pull
             extra_metrics = {"pull_loss": pull}
+        if cfg.triplet_push:
+            # The mechanism-matched repair (round 5): the pull above is
+            # inert at the collapsed fixed point (|h| ≈ 0 ⇒ p-space
+            # distances ~1e-9 while det codes are hair-trigger unique —
+            # measured, RESULTS.md "triplet repair"), because the
+            # RELATIVE triplet margin is satisfiable at any logit scale.
+            # The contrastive objective's scale-growing force is its
+            # dissimilar hinge; wire exactly that, as an ABSOLUTE margin
+            # on the triplet's own (anchor, negative) frames in p-space.
+            pa = jax.nn.sigmoid(out.h_seq[:B])
+            push = losses.contrastive(pa[:, :-1], pa[:, 1:], 1.0,
+                                      margin=cfg.margin)
+            aux = aux + cfg.triplet_push * push
+            extra_metrics = {**extra_metrics, "push_loss": push}
         aux_name = "triplet_loss"
     else:
         raise ValueError(cfg.objective)

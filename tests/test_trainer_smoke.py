@@ -212,6 +212,52 @@ def test_triplet_pull_term(synth_video):
     assert np.isfinite(hist["train_losses"][0]["pull_loss"])
 
 
+def test_triplet_push_term(synth_video):
+    """``triplet_push`` adds exactly weight x the contrastive DISSIMILAR
+    hinge on the triplet's own (anchor, negative) frames in p-space — the
+    scale-growing force the relative margin lacks (the round-5 measured
+    mechanism: the pull alone is inert at the |h|~0 collapsed fixed
+    point). weight=0 must be the reference objective
+    (``triplet_RBVAE_train.py:461-468``) bit-for-bit. Unlike the pull
+    (O(1e-9) at init), the push must be LARGE at init: p ~ 0.5 everywhere
+    means d(p_a, p_n) ~ 0, so the hinge reads ~margin^2."""
+    import dataclasses
+
+    from svtpu.training.trainer import pair_objective
+
+    frames_dir, meta = synth_video
+    splits = split_segments(meta.state_segments(), 0.15, 0.15)
+    store = FrameStore(frames_dir, splits.flat("train")
+                       + splits.flat("val") + splits.flat("test"),
+                       resolution=(32, 32))
+    mcfg = rbvae_variant("triplet", latent_dim=8, input_hw=(32, 32))
+    tcfg = TrainConfig(batch_size=4, objective="triplet", margin=2.0,
+                       select_by="val_loss", triplet_push=1.5)
+    tr = Trainer(mcfg, tcfg, store, splits, meta.flags)
+    params = tr.init_state().params
+    import jax.numpy as jnp
+
+    batch = jnp.asarray(next(iter(tr.train_batcher.epoch(0))))
+    key = jax.random.key(0)
+
+    _, m_push = pair_objective(tr.model, tcfg, params, batch, 1.0, False,
+                               key, deterministic=True)
+    cfg0 = dataclasses.replace(tcfg, triplet_push=0.0)
+    _, m_ref = pair_objective(tr.model, cfg0, params, batch, 1.0, False,
+                              key, deterministic=True)
+    assert "push_loss" in m_push and "push_loss" not in m_ref
+    push = float(m_push["push_loss"])
+    # Active at init (the pull's failure mode): hinge ~ margin^2 = 4.
+    assert push > 1.0
+    np.testing.assert_allclose(
+        float(m_push["triplet_loss"]),
+        float(m_ref["triplet_loss"]) + 1.5 * push, rtol=1e-5)
+
+    # And the wired trainer runs with it.
+    hist = tr.train(num_epochs=1)
+    assert np.isfinite(hist["train_losses"][0]["push_loss"])
+
+
 def test_best_checkpointer_modes(tmp_path):
     from svtpu.training.checkpoints import BestCheckpointer
 
