@@ -186,6 +186,33 @@ def pair_objective(model: Seq2SeqBinaryVAE, cfg: TrainConfig,
             pa = jax.nn.sigmoid(out.h_seq[:B])
             push = losses.contrastive(pa[:, :-1], pa[:, 1:], 1.0,
                                       margin=cfg.margin)
+            if cfg.contextfree_contrast:
+                # Round-5 push1 measurement: the in-context push grows
+                # in-context separation (0 → 2.5 bits) but the PROBE
+                # axis (T=1 encodes) stays collapsed — the same
+                # in-context/context-free drift the flagship objective
+                # closes with its ctx-free margin terms. Apply the push
+                # (and, if enabled, the pull) to a T=1 encode of the
+                # identical frames so the repair constrains what the
+                # metric measures.
+                xf = xm.reshape((2 * B * S, 1) + xm.shape[2:])
+                outf = model.apply(
+                    params, xf, temperature, hard, cfg.noise_ratio,
+                    deterministic=deterministic,
+                    rngs=(None if deterministic
+                          else {"dropout": jax.random.fold_in(k_drop, 2),
+                                "binary": jax.random.fold_in(k_bin, 2)}),
+                    bc_rng=jax.random.fold_in(k_bin, 2))
+                pf = jax.nn.sigmoid(
+                    outf.h_seq.reshape(2, B, S, outf.h_seq.shape[-1]))
+                push = 0.5 * push + 0.5 * losses.contrastive(
+                    pf[0][:, :-1], pf[0][:, 1:], 1.0, margin=cfg.margin)
+                if cfg.triplet_pull:
+                    pullf = losses.contrastive(pf[0], pf[1], 0.0,
+                                               margin=cfg.margin)
+                    aux = aux + cfg.triplet_pull * pullf
+                    extra_metrics = {**extra_metrics,
+                                     "pullf_loss": pullf}
             aux = aux + cfg.triplet_push * push
             extra_metrics = {**extra_metrics, "push_loss": push}
         aux_name = "triplet_loss"
