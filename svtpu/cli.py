@@ -225,6 +225,10 @@ TRAIN_PRESETS = {
     # temperature at this recipe's logit scale), min-aggregated
     # separation so selection cannot reward a run that merged one video's
     # states. Use with repeatable --multi NAME=FRAMES_DIR.
+    # Round-5 caveat (RESULTS.md "Round 5: the recipe does not
+    # replicate"): this recipe's round-3 result is a lucky basin draw —
+    # seed 2 fails outright and the constants fail on re-execution.
+    # Treat as a starting point, verify per-pair separation per run.
     "multi-video": dict(
         variant="contrastive", latent_dim=25, epochs=1500, batch_size=32,
         lr=3e-4, init_temp=2.0, final_temp=0.95, anneal_rate=3e-4,
